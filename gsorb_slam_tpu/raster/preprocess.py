@@ -1,0 +1,130 @@
+"""Per-Gaussian EWA projection ("preprocess").
+
+Vectorized jnp equivalent of ``preprocessCUDA`` + ``computeCov2D`` +
+``computeCov3D`` (``cuda_rasterizer/forward.cu:74-256``): frustum cull,
+perspective projection, 3D covariance from quaternion*scale, EWA 2D
+covariance with the 0.3 pixel low-pass, conic inverse and 3-sigma radius.
+One fused elementwise pass over the padded Gaussian arrays — XLA maps it
+onto the VPU; there is no per-Gaussian thread grid to manage.
+
+One deliberate correctness upgrade over the reference default path: the
+reference's non-radius-filter mode rotates the *means* into the camera frame
+on the torch side but rasterizes with an identity view matrix
+(``src/Render.cc:750-752``), so world-frame covariances are never rotated
+into the camera frame. Here ``cov_cam = R_cw cov_world R_cw^T`` always, which
+matches the reference's own radius-filter path and is differentiable w.r.t.
+the pose.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from gsorb_slam_tpu.core.camera import Camera
+from gsorb_slam_tpu.core.transforms import quat_to_rotmat
+
+HIGHEST = jax.lax.Precision.HIGHEST  # full-f32 contractions (TPU default is bf16)
+
+NEAR_CULL = 0.2  # CUDA in_frustum: p_view.z <= 0.2 culled (auxiliary.h)
+LOW_PASS = 0.3  # pixel low-pass added to cov2D diagonal (forward.cu:108-110)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Preprocessed:
+    """Screen-space Gaussian attributes, padded to capacity C."""
+
+    mean2d: jnp.ndarray  # [C, 2] pixel coords
+    depth: jnp.ndarray  # [C] camera z (+inf for culled)
+    conic: jnp.ndarray  # [C, 3] upper-triangular inverse cov2D (a, b, c)
+    opacity: jnp.ndarray  # [C] sigmoid-activated
+    color: jnp.ndarray  # [C, 3]
+    radius: jnp.ndarray  # [C] float pixel radius (0 for culled)
+    valid: jnp.ndarray  # [C] bool
+
+
+def covariance_3d(quats: jnp.ndarray, log_scales: jnp.ndarray, scale_modifier: float) -> jnp.ndarray:
+    """World-frame covariance ``R S S^T R^T`` [C, 3, 3] (forward.cu:118-152)."""
+    R = quat_to_rotmat(quats)
+    s = jnp.exp(log_scales) * scale_modifier  # [C, 3]
+    M = R * s[:, None, :]  # R @ diag(s)
+    return jnp.matmul(M, jnp.swapaxes(M, -1, -2), precision=HIGHEST)
+
+
+def preprocess(
+    means: jnp.ndarray,
+    rgb: jnp.ndarray,
+    quats: jnp.ndarray,
+    logit_opacities: jnp.ndarray,
+    log_scales: jnp.ndarray,
+    active: jnp.ndarray,
+    T_cw: jnp.ndarray,
+    cam: Camera,
+    scale_modifier: float = 1.0,
+) -> Preprocessed:
+    R_cw = T_cw[:3, :3]
+    t_cw = T_cw[:3, 3]
+    p_cam = jnp.matmul(means, R_cw.T, precision=HIGHEST) + t_cw  # [C, 3]
+    tx, ty, tz = p_cam[..., 0], p_cam[..., 1], p_cam[..., 2]
+
+    in_front = tz > NEAR_CULL
+    safe_z = jnp.where(in_front, tz, 1.0)
+
+    # EWA Jacobian with the CUDA 1.3*tan_fov clamp (forward.cu:80-92).
+    lim_x = 1.3 * cam.tan_half_fov_x
+    lim_y = 1.3 * cam.tan_half_fov_y
+    txz = jnp.clip(tx / safe_z, -lim_x, lim_x)
+    tyz = jnp.clip(ty / safe_z, -lim_y, lim_y)
+
+    cov_w = covariance_3d(quats, log_scales, scale_modifier)  # [C, 3, 3]
+    cov_c = jnp.einsum("ij,njk,lk->nil", R_cw, cov_w, R_cw, precision=HIGHEST)
+
+    fx_z = cam.fx / safe_z
+    fy_z = cam.fy / safe_z
+    # J = [[fx/z, 0, -fx*x/z^2], [0, fy/z, -fy*y/z^2]]
+    j02 = -fx_z * txz
+    j12 = -fy_z * tyz
+    c00, c01, c02 = cov_c[:, 0, 0], cov_c[:, 0, 1], cov_c[:, 0, 2]
+    c11, c12, c22 = cov_c[:, 1, 1], cov_c[:, 1, 2], cov_c[:, 2, 2]
+    # cov2D = J cov_c J^T, expanded (avoids materializing [C, 2, 3]).
+    a = fx_z * (fx_z * c00 + j02 * c02) + j02 * (fx_z * c02 + j02 * c22) + LOW_PASS
+    b = fx_z * (fy_z * c01 + j12 * c02) + j02 * (fy_z * c12 + j12 * c22)
+    c = fy_z * (fy_z * c11 + j12 * c12) + j12 * (fy_z * c12 + j12 * c22) + LOW_PASS
+
+    det = a * c - b * b
+    det_ok = det > 0.0
+    safe_det = jnp.where(det_ok, det, 1.0)
+    inv_det = 1.0 / safe_det
+    conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
+
+    # radius = ceil(3 sqrt(max eigenvalue)) (forward.cu:176-181)
+    mid = 0.5 * (a + c)
+    lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius = jnp.ceil(3.0 * jnp.sqrt(lam1))
+
+    u = cam.fx * txz + cam.cx
+    v = cam.fy * tyz + cam.cy
+    mean2d = jnp.stack([u, v], axis=-1)
+
+    # visible: on-screen rect non-empty (CUDA computes the tile rect and
+    # culls when empty; equivalent screen-bounds test here).
+    on_screen = (
+        (u + radius > 0)
+        & (u - radius < cam.width)
+        & (v + radius > 0)
+        & (v - radius < cam.height)
+    )
+    valid = active & in_front & det_ok & on_screen
+
+    return Preprocessed(
+        mean2d=mean2d,
+        depth=jnp.where(valid, tz, jnp.inf),
+        conic=conic,
+        opacity=jax.nn.sigmoid(logit_opacities),
+        color=rgb,
+        radius=jnp.where(valid, radius, 0.0),
+        valid=valid,
+    )

@@ -1,0 +1,56 @@
+"""Shared rasterizer types."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    """Static rasterizer knobs (jit-hashable).
+
+    The reference fixes BLOCK 16x16 and NUM_CHANNELS 3
+    (``cuda_rasterizer/config.h:15-17``); on TPU the tile is a VPU/MXU
+    work-shape choice and the per-tile instance capacity replaces the
+    dynamic per-tile ranges of the CUDA radix-sort pipeline.
+    """
+
+    tile: int = dataclasses.field(default=16, metadata=dict(static=True))
+    # Max sorted instances blended per tile. CUDA has no cap (dynamic
+    # ranges); we truncate the *farthest* instances past this, which only
+    # drops content already occluded in practice.
+    tile_capacity: int = dataclasses.field(default=1024, metadata=dict(static=True))
+    # Max tiles a single Gaussian may be duplicated into (static instance
+    # count M = C * max_dup). Rects larger than this are clamped around the
+    # projected center.
+    max_dup: int = dataclasses.field(default=16, metadata=dict(static=True))
+    # Chunk of instances blended per scan step inside a tile.
+    chunk: int = dataclasses.field(default=128, metadata=dict(static=True))
+    # Extra pixels added to each Gaussian's tile rect so cached bins stay
+    # valid while pose/means drift between re-binning episodes.
+    dilate_px: float = dataclasses.field(default=0.0, metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RenderOutput:
+    """Everything the reference needs from its TWO rasterizations, in one.
+
+    The reference renders RGB (-> color, median ``out_depth``, radii) and
+    then again with ``colors_precomp=[z,1,0]`` (-> alpha-blended depth in
+    ch0, accumulated opacity in ch1) (``GSParamDepthUpdata``
+    ``src/Render.cc:894-981``). One TPU pass emits all of it.
+    """
+
+    color: jnp.ndarray  # [H, W, 3] = sum c a T + T_final * bg
+    depth: jnp.ndarray  # [H, W] alpha-blended z (differentiable)
+    alpha: jnp.ndarray  # [H, W] accumulated opacity = sum a T
+    median_depth: jnp.ndarray  # [H, W] z of last contributor with T>0.5
+    #   (stop-gradient: the CUDA binding drops out_depth's gradient,
+    #    include/Rasterizer.cuh:209-212)
+    final_t: jnp.ndarray  # [H, W] remaining transmittance
+    radii: jnp.ndarray  # [C] per-Gaussian pixel radius (0 = culled)

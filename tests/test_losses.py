@@ -1,0 +1,93 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsorb_slam_tpu.ops import losses, metrics
+
+
+def test_l1_variants(rng):
+    a = jnp.asarray(rng.uniform(size=(32, 32, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(size=(32, 32, 3)).astype(np.float32))
+    np.testing.assert_allclose(
+        float(losses.l1_mapping(a, b)), np.mean(np.abs(np.asarray(a - b))), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(losses.l1_tracking(a, b)), np.sum(np.abs(np.asarray(a - b))), rtol=1e-5
+    )
+    mask = jnp.asarray(rng.uniform(size=(32, 32)) > 0.5)
+    m = np.asarray(mask)[..., None]
+    expect = np.sum(np.abs(np.asarray(a - b)) * m) / (m.sum() * 3)
+    np.testing.assert_allclose(float(losses.l1_mapping(a, b, mask)), expect, rtol=1e-5)
+
+
+def test_ssim_identical_is_one(rng):
+    a = jnp.asarray(rng.uniform(size=(64, 64, 3)).astype(np.float32))
+    assert float(losses.ssim(a, a)) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_ssim_decreases_with_noise(rng):
+    a = jnp.asarray(rng.uniform(size=(64, 64, 3)).astype(np.float32))
+    b = jnp.clip(a + 0.2 * jnp.asarray(rng.normal(size=a.shape).astype(np.float32)), 0, 1)
+    s_noisy = float(losses.ssim(a, b))
+    assert s_noisy < 0.9
+    c = jnp.clip(a + 0.02 * jnp.asarray(rng.normal(size=a.shape).astype(np.float32)), 0, 1)
+    assert float(losses.ssim(a, c)) > s_noisy
+
+
+def test_ssim_matches_skimage_if_available(rng):
+    skimage = pytest.importorskip("skimage.metrics")
+    a = rng.uniform(size=(96, 96)).astype(np.float32)
+    b = np.clip(a + 0.1 * rng.normal(size=a.shape).astype(np.float32), 0, 1)
+    ours = float(losses.ssim(jnp.asarray(a), jnp.asarray(b)))
+    ref = skimage.structural_similarity(
+        a, b, win_size=11, gaussian_weights=True, sigma=1.5, data_range=1.0,
+        use_sample_covariance=False,
+    )
+    assert ours == pytest.approx(ref, abs=2e-2)  # border handling differs
+
+
+def test_ssim_masked(rng):
+    a = jnp.asarray(rng.uniform(size=(64, 64, 3)).astype(np.float32))
+    mask = jnp.zeros((64, 64), bool).at[:32].set(True)
+    b = a.at[40:].set(0.0)  # corrupt only outside the mask
+    assert float(losses.ssim(a, b, mask)) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_mapping_image_loss_gradient(rng):
+    a = jnp.asarray(rng.uniform(size=(32, 32, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(size=(32, 32, 3)).astype(np.float32))
+    g = jax.grad(lambda x: losses.mapping_image_loss(x, b))(a)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_psnr(rng):
+    a = jnp.asarray(rng.uniform(size=(32, 32, 3)).astype(np.float32))
+    assert float(metrics.psnr(a, a)) > 100
+    b = jnp.clip(a + 0.1, 0, 1)
+    v = float(metrics.psnr(a, b))
+    assert 15 < v < 25
+
+
+def test_ms_ssim_basic(rng):
+    a = jnp.asarray(rng.uniform(size=(192, 192, 3)).astype(np.float32))
+    assert float(metrics.ms_ssim(a, a)) == pytest.approx(1.0, abs=1e-3)
+    b = jnp.clip(a + 0.3 * jnp.asarray(rng.normal(size=a.shape).astype(np.float32)), 0, 1)
+    assert float(metrics.ms_ssim(a, b)) < float(metrics.ms_ssim(a, a))
+
+
+def test_depth_l1():
+    gt = jnp.ones((16, 16)) * 2.0
+    pred = jnp.ones((16, 16)) * 2.5
+    gt = gt.at[0, :].set(0.0)  # invalid pixels excluded
+    assert float(metrics.depth_l1(pred, gt)) == pytest.approx(0.5, abs=1e-6)
+
+
+def test_scale_regularizers():
+    log_scales = jnp.log(jnp.array([[0.1, 0.1, 0.1], [1.0, 0.5, 0.2]]))
+    active = jnp.array([True, True])
+    aniso, over = losses.scale_regularizers(log_scales, active, scene_radius=1.0)
+    assert float(aniso) == pytest.approx(0.4, abs=1e-6)  # mean of (0, 0.8)
+    # overshoot beyond 0.1: (0+0+0) + (0.9+0.4+0.1) = 1.4, / 2 active
+    assert float(over) == pytest.approx(0.7, abs=1e-6)

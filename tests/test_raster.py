@@ -1,0 +1,231 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsorb_slam_tpu.core.camera import Camera
+from gsorb_slam_tpu.core.transforms import pose_to_matrix
+from gsorb_slam_tpu.raster import (
+    RasterConfig,
+    bin_gaussians,
+    preprocess,
+    render,
+    render_naive,
+    render_tiled,
+)
+
+from tests.scenes import identity_pose, random_cloud_scene, tiny_camera
+
+CFG = RasterConfig(tile=16, tile_capacity=512, max_dup=16, chunk=64)
+
+
+def _prep(scene, cam, pose=None):
+    return preprocess(
+        scene["means"],
+        scene["rgb"],
+        scene["quats"],
+        scene["logit_opacities"],
+        scene["log_scales"],
+        scene["active"],
+        pose if pose is not None else identity_pose(),
+        cam,
+    )
+
+
+def test_single_gaussian_center_blob(rng):
+    cam = tiny_camera()
+    scene = random_cloud_scene(rng, n=1)
+    scene["means"] = scene["means"].at[0].set(jnp.array([0.0, 0.0, 2.0]))
+    scene["rgb"] = scene["rgb"].at[0].set(jnp.array([1.0, 0.0, 0.0]))
+    scene["logit_opacities"] = scene["logit_opacities"].at[0].set(10.0)
+    scene["log_scales"] = jnp.full_like(scene["log_scales"], jnp.log(0.08))
+    out = render_naive(_prep(scene, cam), cam)
+    c = np.asarray(out.color)
+    # Red at center, dark at corner.
+    assert c[24, 32, 0] > 0.9 and c[24, 32, 1] < 1e-3
+    assert c[0, 0, 0] < 1e-3
+    # Blended depth ~= z * alpha at center, median = z.
+    assert np.asarray(out.median_depth)[24, 32] == pytest.approx(2.0)
+    assert np.asarray(out.alpha)[24, 32] == pytest.approx(0.99, abs=0.01)
+    assert np.asarray(out.final_t)[24, 32] == pytest.approx(0.01, abs=0.01)
+
+
+def test_front_to_back_ordering(rng):
+    """A nearly-opaque near splat must hide a far splat."""
+    cam = tiny_camera()
+    scene = random_cloud_scene(rng, n=2)
+    scene["means"] = jnp.array([[0.0, 0.0, 3.0], [0.0, 0.0, 1.5]], jnp.float32)
+    scene["rgb"] = jnp.array([[0.0, 1.0, 0.0], [1.0, 0.0, 0.0]], jnp.float32)
+    scene["logit_opacities"] = jnp.array([10.0, 10.0], jnp.float32)
+    scene["log_scales"] = jnp.full((2, 3), jnp.log(0.1), jnp.float32)
+    out = render_naive(_prep(scene, cam), cam)
+    c = np.asarray(out.color)[24, 32]
+    assert c[0] > 0.9 and c[1] < 0.05  # near red wins regardless of array order
+    assert np.asarray(out.median_depth)[24, 32] == pytest.approx(1.5)
+
+
+def test_tiled_matches_naive(rng):
+    cam = tiny_camera()
+    scene = random_cloud_scene(rng, n=300, capacity=384)
+    prep = _prep(scene, cam)
+    ref = render_naive(prep, cam, cfg=CFG)
+    bins = bin_gaussians(prep, cam, CFG)
+    out = render_tiled(prep, bins, cam, CFG)
+    np.testing.assert_allclose(
+        np.asarray(out.color), np.asarray(ref.color), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.depth), np.asarray(ref.depth), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.alpha), np.asarray(ref.alpha), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.final_t), np.asarray(ref.final_t), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.median_depth), np.asarray(ref.median_depth), atol=1e-4
+    )
+
+
+def test_tiled_matches_naive_rotated_pose(rng):
+    cam = tiny_camera()
+    scene = random_cloud_scene(rng, n=200, capacity=256)
+    q = jnp.array([0.99, 0.05, -0.05, 0.02])
+    t = jnp.array([0.05, -0.02, 0.1])
+    T_cw = pose_to_matrix(q, t)
+    prep = _prep(scene, cam, T_cw)
+    ref = render_naive(prep, cam, cfg=CFG)
+    bins = bin_gaussians(prep, cam, CFG)
+    out = render_tiled(prep, bins, cam, CFG)
+    np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color), atol=2e-5)
+
+
+def test_background_color(rng):
+    cam = tiny_camera()
+    scene = random_cloud_scene(rng, n=1)
+    scene["means"] = scene["means"].at[0, 2].set(-5.0)  # behind camera
+    out = render_naive(_prep(scene, cam), cam, bg=jnp.array([0.2, 0.4, 0.6]))
+    np.testing.assert_allclose(
+        np.asarray(out.color), np.broadcast_to([0.2, 0.4, 0.6], (48, 64, 3)), atol=1e-6
+    )
+
+
+def test_gradients_match_naive_vs_tiled(rng):
+    cam = tiny_camera()
+    scene = random_cloud_scene(rng, n=80, capacity=128)
+    target = jnp.asarray(rng.uniform(size=(48, 64, 3)).astype(np.float32))
+
+    def loss_naive(means, rgb, logit_op, log_scales):
+        s = dict(scene, means=means, rgb=rgb, logit_opacities=logit_op, log_scales=log_scales)
+        out = render_naive(_prep(s, cam), cam)
+        return jnp.mean(jnp.abs(out.color - target)) + 0.1 * jnp.mean(out.depth)
+
+    prep0 = _prep(scene, cam)
+    bins = bin_gaussians(prep0, cam, CFG)
+
+    def loss_tiled(means, rgb, logit_op, log_scales):
+        s = dict(scene, means=means, rgb=rgb, logit_opacities=logit_op, log_scales=log_scales)
+        out = render_tiled(_prep(s, cam), bins, cam, CFG)
+        return jnp.mean(jnp.abs(out.color - target)) + 0.1 * jnp.mean(out.depth)
+
+    args = (scene["means"], scene["rgb"], scene["logit_opacities"], scene["log_scales"])
+    g_n = jax.grad(loss_naive, argnums=(0, 1, 2, 3))(*args)
+    g_t = jax.grad(loss_tiled, argnums=(0, 1, 2, 3))(*args)
+    for a, b in zip(g_n, g_t):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3)
+
+
+def test_pose_gradient_finite_difference(rng):
+    """Analytic pose gradient through the renderer vs central differences.
+
+    Runs in float64: in f32 the FD quotient drowns in rounding noise and the
+    blend's discrete events (alpha cutoffs, clamps) at practical eps.
+    """
+    jax.config.update("jax_enable_x64", True)
+    try:
+        cam = tiny_camera(w=32, h=32, f=40.0)
+        scene = {
+            k: jnp.asarray(np.asarray(v, np.float64))
+            if np.asarray(v).dtype == np.float32
+            else jnp.asarray(np.asarray(v))
+            for k, v in random_cloud_scene(rng, n=40, capacity=64).items()
+        }
+        target = jnp.asarray(rng.uniform(size=(32, 32, 3)))
+
+        def loss(tvec):
+            T = jnp.eye(4, dtype=jnp.float64).at[:3, 3].set(tvec)
+            out = render_naive(_prep(scene, cam, T), cam)
+            return jnp.sum((out.color - target) ** 2) + 0.1 * jnp.sum(out.depth**2)
+
+        t0 = jnp.array([0.01, -0.02, 0.03], jnp.float64)
+        g = np.asarray(jax.grad(loss)(t0))
+        eps = 1e-6
+        for i in range(3):
+            e = np.zeros(3)
+            e[i] = eps
+            fd = (float(loss(t0 + e)) - float(loss(t0 - e))) / (2 * eps)
+            assert g[i] == pytest.approx(fd, rel=1e-4, abs=1e-4)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_median_depth_has_no_gradient(rng):
+    cam = tiny_camera(w=32, h=32, f=40.0)
+    scene = random_cloud_scene(rng, n=20, capacity=32)
+
+    def loss(means):
+        s = dict(scene, means=means)
+        out = render_naive(_prep(s, cam), cam)
+        return jnp.sum(out.median_depth)
+
+    g = jax.grad(loss)(scene["means"])
+    np.testing.assert_allclose(np.asarray(g), 0.0)
+
+
+def test_binning_counts_consistent(rng):
+    cam = tiny_camera()
+    scene = random_cloud_scene(rng, n=300, capacity=384)
+    prep = _prep(scene, cam)
+    bins = bin_gaussians(prep, cam, CFG)
+    idx = np.asarray(bins.indices)
+    counts = np.asarray(bins.counts)
+    assert int(bins.n_dropped) == 0
+    for t in range(idx.shape[0]):
+        assert np.all(idx[t, : counts[t]] >= 0)
+        assert np.all(idx[t, counts[t]:] == -1)
+    # Every valid on-screen gaussian appears in at least one tile.
+    valid = np.asarray(prep.valid)
+    present = np.unique(idx[idx >= 0])
+    u = np.asarray(prep.mean2d[:, 0])
+    v = np.asarray(prep.mean2d[:, 1])
+    center_on = valid & (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+    assert set(np.where(center_on)[0]).issubset(set(present.tolist()))
+
+
+def test_binning_depth_ordered_within_tile(rng):
+    cam = tiny_camera()
+    scene = random_cloud_scene(rng, n=200, capacity=256)
+    prep = _prep(scene, cam)
+    bins = bin_gaussians(prep, cam, CFG)
+    depth = np.asarray(prep.depth)
+    idx = np.asarray(bins.indices)
+    counts = np.asarray(bins.counts)
+    for t in range(idx.shape[0]):
+        d = depth[idx[t, : counts[t]]]
+        assert np.all(np.diff(d) >= -1e-6)
+
+
+def test_render_convenience_jit(rng):
+    cam = tiny_camera()
+    scene = random_cloud_scene(rng, n=100, capacity=128)
+
+    @jax.jit
+    def f(s):
+        return render(
+            s["means"], s["rgb"], s["quats"], s["logit_opacities"],
+            s["log_scales"], s["active"], identity_pose(), cam, CFG,
+        ).color
+
+    c = f(scene)
+    assert np.all(np.isfinite(np.asarray(c)))
