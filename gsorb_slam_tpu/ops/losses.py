@@ -55,10 +55,14 @@ def l1_tracking(pred: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray | None
 
 
 @functools.lru_cache(maxsize=8)
-def _gaussian_window(size: int, sigma: float) -> jax.Array:
-    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
-    g = jnp.exp(-(x**2) / (2.0 * sigma**2))
-    return g / jnp.sum(g)
+def _gaussian_window(size: int, sigma: float):
+    # Host-side numpy (NOT jnp): caching a traced array would leak tracers
+    # across jit scopes.
+    import numpy as np
+
+    x = np.arange(size, dtype=np.float32) - (size - 1) / 2.0
+    g = np.exp(-(x**2) / (2.0 * sigma**2))
+    return g / np.sum(g)
 
 
 def _depthwise_blur(img: jnp.ndarray, size: int, sigma: float) -> jnp.ndarray:

@@ -1,0 +1,297 @@
+"""RGB-D dataset loaders: TUM, Replica, ScanNet, and a synthetic generator.
+
+Replaces the reference's per-dataset example drivers
+(``Examples/RGB-D/rgbd_tum.cc:40-70`` association loading) and
+``scripts/associate.py``. All loaders yield ``(timestamp, rgb[H,W,3] f32
+0..1, depth[H,W] f32 meters)`` and expose ground-truth trajectories when
+available for evaluation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+def _imread_color(path: str) -> np.ndarray:
+    try:
+        import cv2
+
+        im = cv2.imread(path, cv2.IMREAD_COLOR)
+        return cv2.cvtColor(im, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+    except Exception:
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+
+
+def _imread_depth(path: str, factor: float) -> np.ndarray:
+    try:
+        import cv2
+
+        d = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    except Exception:
+        from PIL import Image
+
+        d = np.asarray(Image.open(path))
+    return d.astype(np.float32) / factor
+
+
+@dataclasses.dataclass
+class RGBDFrame:
+    timestamp: float
+    rgb: np.ndarray  # [H, W, 3] float32 in [0, 1]
+    depth: np.ndarray  # [H, W] float32 meters (0 = invalid)
+    gt_T_cw: Optional[np.ndarray] = None  # [4, 4] if ground truth known
+
+
+class RGBDDataset:
+    """Base: sequence of RGBDFrames + optional GT trajectory."""
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def __getitem__(self, i: int) -> RGBDFrame:
+        raise NotImplementedError
+
+    def __iter__(self) -> Iterator[RGBDFrame]:
+        for i in range(len(self)):
+            yield self[i]
+
+
+def associate_timestamps(
+    a: np.ndarray, b: np.ndarray, max_dt: float = 0.02
+) -> list[tuple[int, int]]:
+    """Greedy nearest-timestamp association (``scripts/associate.py``)."""
+    pairs = []
+    used_b: set[int] = set()
+    for i, ta in enumerate(a):
+        j = int(np.argmin(np.abs(b - ta)))
+        if abs(b[j] - ta) < max_dt and j not in used_b:
+            pairs.append((i, j))
+            used_b.add(j)
+    return pairs
+
+
+class TUMDataset(RGBDDataset):
+    """TUM RGB-D: associates rgb.txt/depth.txt, DepthMapFactor=5000
+    (``src/Tracking.cc:275-276``), optional groundtruth.txt."""
+
+    def __init__(self, root: str, depth_factor: float = 5000.0, max_dt: float = 0.02):
+        self.root = root
+        self.depth_factor = depth_factor
+
+        def read_list(name):
+            ts, files = [], []
+            with open(os.path.join(root, name)) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line or line.startswith("#"):
+                        continue
+                    t, p = line.split()[:2]
+                    ts.append(float(t))
+                    files.append(p)
+            return np.array(ts), files
+
+        rgb_ts, rgb_files = read_list("rgb.txt")
+        d_ts, d_files = read_list("depth.txt")
+        pairs = associate_timestamps(rgb_ts, d_ts, max_dt)
+        self.items = [
+            (rgb_ts[i], os.path.join(root, rgb_files[i]), os.path.join(root, d_files[j]))
+            for i, j in pairs
+        ]
+        self.gt = self._load_gt(os.path.join(root, "groundtruth.txt"))
+
+    def _load_gt(self, path):
+        if not os.path.exists(path):
+            return None
+        data = []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                v = [float(x) for x in line.split()]
+                data.append(v)
+        return np.array(data)  # [N, 8]: t x y z qx qy qz qw
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        t, rgb_p, d_p = self.items[i]
+        return RGBDFrame(
+            timestamp=t,
+            rgb=_imread_color(rgb_p),
+            depth=_imread_depth(d_p, self.depth_factor),
+            gt_T_cw=self._gt_pose(t),
+        )
+
+    def _gt_pose(self, t):
+        if self.gt is None:
+            return None
+        j = int(np.argmin(np.abs(self.gt[:, 0] - t)))
+        if abs(self.gt[j, 0] - t) > 0.05:
+            return None
+        x, y, z, qx, qy, qz, qw = self.gt[j, 1:8]
+        T_wc = np.eye(4, dtype=np.float32)
+        T_wc[:3, :3] = _quat_to_R(qw, qx, qy, qz)
+        T_wc[:3, 3] = [x, y, z]
+        return np.linalg.inv(T_wc).astype(np.float32)
+
+
+class ReplicaDataset(RGBDDataset):
+    """Replica (iMAP/NICE-SLAM convention): results/frame%06d.jpg +
+    depth%06d.png (scale 6553.5), traj.txt with row-major T_wc per line."""
+
+    def __init__(self, root: str, depth_factor: float = 6553.5):
+        self.root = root
+        self.depth_factor = depth_factor
+        res = os.path.join(root, "results")
+        self.n = len([f for f in os.listdir(res) if f.startswith("frame")])
+        traj_path = os.path.join(root, "traj.txt")
+        self.traj = (
+            np.loadtxt(traj_path).reshape(-1, 4, 4).astype(np.float32)
+            if os.path.exists(traj_path)
+            else None
+        )
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rgb = _imread_color(os.path.join(self.root, "results", f"frame{i:06d}.jpg"))
+        depth = _imread_depth(
+            os.path.join(self.root, "results", f"depth{i:06d}.png"), self.depth_factor
+        )
+        gt = None
+        if self.traj is not None:
+            gt = np.linalg.inv(self.traj[i]).astype(np.float32)  # file is T_wc
+        return RGBDFrame(timestamp=float(i), rgb=rgb, depth=depth, gt_T_cw=gt)
+
+
+class ScanNetDataset(RGBDDataset):
+    """ScanNet exported scans: color/%d.jpg + depth/%d.png (millimeters),
+    pose/%d.txt T_wc."""
+
+    def __init__(self, root: str, depth_factor: float = 1000.0):
+        self.root = root
+        self.depth_factor = depth_factor
+        self.n = len(os.listdir(os.path.join(root, "depth")))
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rgb = _imread_color(os.path.join(self.root, "color", f"{i}.jpg"))
+        depth = _imread_depth(
+            os.path.join(self.root, "depth", f"{i}.png"), self.depth_factor
+        )
+        pose_p = os.path.join(self.root, "pose", f"{i}.txt")
+        gt = None
+        if os.path.exists(pose_p):
+            T_wc = np.loadtxt(pose_p).astype(np.float32)
+            if np.all(np.isfinite(T_wc)):
+                gt = np.linalg.inv(T_wc).astype(np.float32)
+        return RGBDFrame(timestamp=float(i), rgb=rgb, depth=depth, gt_T_cw=gt)
+
+
+def _quat_to_R(w, x, y, z):
+    n = np.sqrt(w * w + x * x + y * y + z * z)
+    w, x, y, z = w / n, x / n, y / n, z / n
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ],
+        np.float32,
+    )
+
+
+class SyntheticDataset(RGBDDataset):
+    """Procedural RGB-D sequence rendered from a random Gaussian scene along
+    a smooth trajectory — the CI/e2e stand-in when no real data is mounted
+    (tests & bench; SURVEY.md §4's synthetic-scene strategy)."""
+
+    def __init__(
+        self,
+        cam,
+        n_frames: int = 30,
+        n_splats: int = 4000,
+        seed: int = 0,
+        motion_scale: float = 1.0,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from gsorb_slam_tpu.raster import RasterConfig, render
+
+        self.cam = cam
+        rng = np.random.default_rng(seed)
+        means = np.stack(
+            [
+                rng.uniform(-2.0, 2.0, n_splats),
+                rng.uniform(-1.5, 1.5, n_splats),
+                rng.uniform(1.2, 4.0, n_splats),
+            ],
+            -1,
+        ).astype(np.float32)
+        rgb = rng.uniform(0.05, 1.0, (n_splats, 3)).astype(np.float32)
+        quats = rng.normal(size=(n_splats, 4)).astype(np.float32)
+        logit_op = np.full(n_splats, 6.0, np.float32)  # nearly opaque surface
+        log_scales = np.log(
+            rng.uniform(0.03, 0.08, (n_splats, 3)).astype(np.float32)
+        )
+
+        self.poses = []
+        frames = []
+        rcfg = RasterConfig(tile=16, tile_capacity=1024, max_dup=16, chunk=128)
+        rfn = jax.jit(
+            lambda T: render(
+                jnp.asarray(means), jnp.asarray(rgb), jnp.asarray(quats),
+                jnp.asarray(logit_op), jnp.asarray(log_scales),
+                jnp.ones(n_splats, bool), T, cam, rcfg,
+            )
+        )
+        for i in range(n_frames):
+            s = i / max(n_frames - 1, 1)
+            T_cw = np.eye(4, dtype=np.float32)
+            ang = 0.12 * motion_scale * np.sin(2 * np.pi * s)
+            ca, sa = np.cos(ang), np.sin(ang)
+            T_cw[:3, :3] = np.array([[ca, 0, -sa], [0, 1, 0], [sa, 0, ca]], np.float32)
+            T_cw[:3, 3] = [
+                0.25 * motion_scale * np.sin(2 * np.pi * s),
+                0.08 * motion_scale * np.sin(4 * np.pi * s),
+                0.15 * motion_scale * s,
+            ]
+            out = rfn(jnp.asarray(T_cw))
+            color = np.clip(np.asarray(out.color), 0, 1)
+            depth = np.asarray(out.median_depth)
+            depth = np.where(np.asarray(out.alpha) > 0.5, depth, 0.0)
+            frames.append((color, depth))
+            self.poses.append(T_cw)
+        self.frames = frames
+
+    def __len__(self):
+        return len(self.frames)
+
+    def __getitem__(self, i):
+        color, depth = self.frames[i]
+        return RGBDFrame(
+            timestamp=float(i), rgb=color, depth=depth, gt_T_cw=self.poses[i]
+        )
+
+
+def open_dataset(kind: str, path: str, depth_factor: float) -> RGBDDataset:
+    kind = kind.lower()
+    if kind == "tum":
+        return TUMDataset(path, depth_factor)
+    if kind == "replica":
+        return ReplicaDataset(path, depth_factor if depth_factor != 5000.0 else 6553.5)
+    if kind == "scannet":
+        return ScanNetDataset(path, depth_factor if depth_factor != 5000.0 else 1000.0)
+    raise ValueError(f"unknown dataset type: {kind}")

@@ -1,0 +1,275 @@
+"""Mapping: densification and windowed Gaussian-map optimization.
+
+TPU-native equivalent of the reference mapping engine:
+
+- :func:`densify_frame` = ``Render::AddGaussian`` + ``ProjectPixel``
+  (``src/Render.cc:557-654``): the transmittance/depth-error add-mask as one
+  fused jnp expression and the CPU per-pixel backprojection double loop as a
+  masked vectorized scatter into the padded map.
+- :func:`map_window` = ``Render::RenderForFrame`` (``src/Render.cc:402-493``):
+  ``Mapping.numIters`` Adam steps, each on a uniformly random frame of the
+  optimization window, with the reference's exact loss mix.
+- :func:`init_world` = ``Render::InitWorld`` (``src/Render.cc:496-553``):
+  dense per-pixel seeding from frame 0 + warm-up iterations.
+
+The whole iteration loop is one jitted ``lax.scan`` carrying the map pytree;
+window frames are stacked device arrays indexed with the per-iteration
+random draw. Tile bins per window frame are built once per window (cached by
+the caller across frames) — see ``raster/binning.py`` for the amortization
+argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gsorb_slam_tpu.core.camera import Camera, backproject, pixel_grid
+from gsorb_slam_tpu.core.config import MappingConfig
+from gsorb_slam_tpu.core.transforms import invert_se3, transform_points
+from gsorb_slam_tpu.ops.losses import l1_mapping, ssim
+from gsorb_slam_tpu.raster.binning import TileBins, bin_gaussians
+from gsorb_slam_tpu.raster.preprocess import preprocess
+from gsorb_slam_tpu.raster.tiled import render_tiled
+from gsorb_slam_tpu.raster.types import RasterConfig, RenderOutput
+from gsorb_slam_tpu.splat.gaussians import (
+    GaussianMap,
+    adam_step,
+    add_points,
+    map_learning_rates,
+)
+
+
+class WindowFrames(NamedTuple):
+    """Stacked optimization-window frames (padded to a static window size)."""
+
+    colors: jnp.ndarray  # [W, H, Wd, 3]
+    depths: jnp.ndarray  # [W, H, Wd]
+    poses: jnp.ndarray  # [W, 4, 4] T_cw
+    bins_indices: jnp.ndarray  # [W, T, cap]
+    bins_counts: jnp.ndarray  # [W, T]
+    n_frames: jnp.ndarray  # [] int32 live frames (<= W)
+
+
+def _render(gm: GaussianMap, T_cw, bins: TileBins, cam, rcfg, mcfg) -> RenderOutput:
+    prep = preprocess(
+        gm.means, gm.rgb, gm.quats, gm.logit_opacities, gm.log_scales,
+        gm.active, T_cw, cam, mcfg.scale_modifier,
+    )
+    return render_tiled(prep, bins, cam, rcfg, bg=mcfg.background_color)
+
+
+def densify_frame(
+    gm: GaussianMap,
+    out: RenderOutput,
+    gt_color: jnp.ndarray,
+    gt_depth: jnp.ndarray,
+    T_cw: jnp.ndarray,
+    cam: Camera,
+    mcfg: MappingConfig,
+) -> tuple[GaussianMap, jnp.ndarray]:
+    """Add splats where the render disagrees with the sensor.
+
+    Mask construction mirrors ``Render::AddGaussian`` (``src/Render.cc:557-594``):
+    ``c1`` = not-yet-opaque & rendered-dark & depth-error above an adaptive
+    threshold (mean + madienMul * median of the small-error pixels);
+    ``c2`` = accumulated alpha < 0.8. Returns (new map, number added).
+    """
+    gray = (
+        out.color[..., 0] * 299.0 + out.color[..., 1] * 587.0 + out.color[..., 2] * 114.0
+    ) / 1000.0
+    black = gray < (50.0 / 255.0)
+
+    diff = jnp.abs(gt_depth - out.depth)
+    err_mask = (diff < 0.05) & (gt_depth > 0) & (out.depth > 0)
+    masked = jnp.where(err_mask, diff, jnp.nan)
+    mean_val = jnp.nanmean(masked)
+    med_val = jnp.nanmedian(masked)
+    th = jnp.maximum(mean_val + mcfg.madien_mul * med_val, 0.01)
+    th = jnp.where(jnp.isfinite(th), th, 0.01)
+
+    c1 = (~(out.alpha > 0.99)) & black & (diff > th)
+    c2 = out.alpha < 0.8
+    add_mask = (c1 | c2) & (gt_depth > 0)
+
+    uv = pixel_grid(cam)
+    pts_cam = backproject(cam, uv, gt_depth)  # [H, W, 3]
+    T_wc = invert_se3(T_cw)
+    pts_world = transform_points(T_wc, pts_cam.reshape(-1, 3))
+    n_before = gm.count
+    gm = add_points(
+        gm,
+        pts_world,
+        gt_color.reshape(-1, 3),
+        gt_depth.reshape(-1),
+        add_mask.reshape(-1),
+        cam.fx,
+        cam.fy,
+    )
+    max_z = jnp.maximum(gm.max_z, jnp.max(jnp.where(add_mask, gt_depth, 0.0)))
+    gm = dataclasses.replace(gm, max_z=max_z)
+    return gm, gm.count - n_before
+
+
+def seed_from_frame(
+    gm: GaussianMap,
+    gt_color: jnp.ndarray,
+    gt_depth: jnp.ndarray,
+    T_cw: jnp.ndarray,
+    cam: Camera,
+    mcfg: MappingConfig,
+    stride: int = 1,
+) -> GaussianMap:
+    """Dense per-pixel seeding (``InitGaussianPoint`` ``src/Render.cc:666-707``).
+
+    ``stride`` subsamples the pixel grid (capacity control on large frames;
+    the reference seeds every valid pixel)."""
+    uv = pixel_grid(cam)[::stride, ::stride]
+    depth = gt_depth[::stride, ::stride]
+    color = gt_color[::stride, ::stride]
+    pts_cam = backproject(cam, uv, depth)
+    T_wc = invert_se3(T_cw)
+    pts_world = transform_points(T_wc, pts_cam.reshape(-1, 3))
+    gm = add_points(
+        gm,
+        pts_world,
+        color.reshape(-1, 3),
+        depth.reshape(-1),
+        (depth > 0).reshape(-1),
+        cam.fx,
+        cam.fy,
+    )
+    max_z = jnp.maximum(gm.max_z, jnp.max(depth))
+    return dataclasses.replace(
+        gm, max_z=max_z, scene_radius=max_z / mcfg.radius_depth_ratio
+    )
+
+
+def _mapping_loss(
+    gm: GaussianMap,
+    out: RenderOutput,
+    gt_color: jnp.ndarray,
+    gt_depth: jnp.ndarray,
+    mcfg: MappingConfig,
+    init_mode: bool,
+) -> jnp.ndarray:
+    valid = gt_depth > 0
+    image_loss = mcfg.lam * l1_mapping(out.color, gt_color) + (1.0 - mcfg.lam) * (
+        1.0 - ssim(out.color, gt_color)
+    )
+    depth_loss = l1_mapping(out.depth, gt_depth, valid)
+    if init_mode:
+        # InitWorld: fixed 0.1 surdepth weight, gt-valid mask (src/Render.cc:537-541)
+        surdepth_loss = l1_mapping(out.median_depth, gt_depth, valid)
+        return (
+            mcfg.im_weight * image_loss
+            + 0.1 * surdepth_loss
+            + mcfg.depth_weight * depth_loss
+        )
+    surdepth_loss = l1_mapping(
+        out.median_depth, gt_depth, valid & (out.alpha > 0.99)
+    )
+    # Scale regularizers over splats with any scale beyond 0.1*sceneRadius.
+    # torch's where()[0] yields one entry PER exceeding element (rows can
+    # repeat), so weight rows by their exceeding-element count
+    # (src/Render.cc:464-470).
+    scales = jnp.exp(gm.log_scales)
+    max_scalar = 0.1 * gm.scene_radius
+    w_row = jnp.sum(scales > max_scalar, axis=-1).astype(jnp.float32)
+    w_row = w_row * gm.active.astype(jnp.float32)
+    smax = jnp.max(scales, axis=-1)
+    smin = jnp.min(scales, axis=-1)
+    reg_scalar = jnp.sum(w_row * (smax - max_scalar))
+    denom = jnp.maximum(jnp.sum(w_row), 1.0)
+    reg_long = jnp.sum(w_row * (smax - smin)) / denom
+    return (
+        mcfg.im_weight * image_loss
+        + mcfg.depth_weight * depth_loss
+        + mcfg.sur_depth_weight * surdepth_loss
+        + mcfg.reg_long_weight * reg_long
+        + mcfg.reg_scalar_weight * reg_scalar
+    )
+
+
+def map_window(
+    gm: GaussianMap,
+    frames: WindowFrames,
+    key: jnp.ndarray,
+    cam: Camera,
+    mcfg: MappingConfig,
+    rcfg: RasterConfig,
+    num_iters: int | None = None,
+    init_mode: bool = False,
+) -> tuple[GaussianMap, jnp.ndarray]:
+    """``numIters`` Adam steps, each on a random window frame
+    (``src/Render.cc:420-483``). Returns (map, per-iteration losses)."""
+    num_iters = int(num_iters or mcfg.num_iters)
+    lrs = map_learning_rates(mcfg)
+
+    def step(carry, it_key):
+        gm = carry
+        k = jax.random.randint(it_key, (), 0, jnp.maximum(frames.n_frames, 1))
+        color = jax.lax.dynamic_index_in_dim(frames.colors, k, keepdims=False)
+        depth = jax.lax.dynamic_index_in_dim(frames.depths, k, keepdims=False)
+        pose = jax.lax.dynamic_index_in_dim(frames.poses, k, keepdims=False)
+        bins = TileBins(
+            indices=jax.lax.dynamic_index_in_dim(frames.bins_indices, k, keepdims=False),
+            counts=jax.lax.dynamic_index_in_dim(frames.bins_counts, k, keepdims=False),
+            n_dropped=jnp.zeros((), jnp.int32),
+        )
+
+        def loss_fn(params):
+            g2 = dataclasses.replace(gm, **params)
+            out = _render(g2, pose, bins, cam, rcfg, mcfg)
+            return _mapping_loss(g2, out, color, depth, mcfg, init_mode)
+
+        loss, grads = jax.value_and_grad(loss_fn)(gm.params())
+        return adam_step(gm, grads, lrs), loss
+
+    keys = jax.random.split(key, num_iters)
+    gm, losses = jax.lax.scan(step, gm, keys)
+    return gm, losses
+
+
+def build_window_frames(
+    colors, depths, poses, bins_list, n_frames: int, window_size: int
+) -> WindowFrames:
+    """Stack host-side frame data into padded device arrays."""
+    import numpy as np
+
+    W = window_size
+    H, Wd = colors[0].shape[:2]
+    T, cap = bins_list[0].indices.shape
+    c = np.zeros((W, H, Wd, 3), np.float32)
+    d = np.zeros((W, H, Wd), np.float32)
+    p = np.tile(np.eye(4, dtype=np.float32), (W, 1, 1))
+    bi = np.full((W, T, cap), -1, np.int32)
+    bc = np.zeros((W, T), np.int32)
+    for i in range(min(n_frames, W)):
+        c[i] = colors[i]
+        d[i] = depths[i]
+        p[i] = poses[i]
+        bi[i] = np.asarray(bins_list[i].indices)
+        bc[i] = np.asarray(bins_list[i].counts)
+    return WindowFrames(
+        colors=jnp.asarray(c),
+        depths=jnp.asarray(d),
+        poses=jnp.asarray(p),
+        bins_indices=jnp.asarray(bi),
+        bins_counts=jnp.asarray(bc),
+        n_frames=jnp.asarray(min(n_frames, W), jnp.int32),
+    )
+
+
+def prune_map(gm: GaussianMap, mcfg: MappingConfig) -> GaussianMap:
+    """Periodic low-opacity prune + scene radius refresh
+    (``Render::RemoveGaussian`` + ``UpdataMaxZ``, ``src/Render.cc:211-217,657-663``)."""
+    from gsorb_slam_tpu.splat.gaussians import prune_low_opacity
+
+    gm = prune_low_opacity(gm, mcfg.prune_opacities)
+    return dataclasses.replace(
+        gm, scene_radius=gm.max_z / mcfg.radius_depth_ratio
+    )

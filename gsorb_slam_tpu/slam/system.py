@@ -1,0 +1,409 @@
+"""System facade: the per-frame SLAM orchestration.
+
+TPU-native equivalent of ``System``/``Tracking::TrackWithGaussian``
+(``src/System.cc:34-229``, ``src/Tracking.cc:293-451``): per frame —
+
+1. motion-model pose prediction,
+2. tracking-by-rendering (``slam/tracking.py``),
+3. keyframe decision via the novel-view-overlap criterion,
+4. densification at the tracked pose (``slam/mapping.py``),
+5. optimization-window assembly (``slam/window.py``) and ``numIters``
+   mapping Adam steps.
+
+Where the reference interleaves this across 4 mutex-synchronized CPU threads
+with the GPU work inlined in the Tracking thread (SURVEY.md §1), here the
+device work is three jitted programs (track / densify / map-window) driven
+by a single-owner host loop; keyframe images and cached tile bins live in
+fixed device pools so window assembly is a device-side gather, not a
+host->device upload.
+
+Sort amortization policy (see ``raster/binning.py``): bins are built once
+per frame at the tracked pose (shared by tracking+densify) and once after
+densification (the window's current-frame bins, which must see the new
+splats); cached keyframe bins refresh round-robin when older than
+``bins_ttl`` frames. Pruning is mask-only so cached bins stay valid;
+compaction (which permutes splat indices) runs only near capacity and
+invalidates every cached bin.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsorb_slam_tpu.core.camera import Camera
+from gsorb_slam_tpu.core.config import SystemConfig, load_config
+from gsorb_slam_tpu.raster.binning import TileBins, bin_gaussians
+from gsorb_slam_tpu.raster.preprocess import preprocess
+from gsorb_slam_tpu.raster.tiled import render_tiled
+from gsorb_slam_tpu.raster.types import RasterConfig
+from gsorb_slam_tpu.slam import mapping as M
+from gsorb_slam_tpu.slam import tracking as T
+from gsorb_slam_tpu.slam import window as W
+from gsorb_slam_tpu.splat.gaussians import GaussianMap, compact, empty_map
+
+SENSOR_RGBD = "rgbd"
+SENSOR_MONOCULAR = "monocular"
+SENSOR_STEREO = "stereo"
+
+
+@dataclasses.dataclass
+class FrameRecord:
+    frame_id: int
+    timestamp: float
+    T_cw: np.ndarray
+    is_keyframe: bool
+    track_loss: float
+    track_iters: int
+
+
+class System:
+    """Drop-in analog of the reference ``System`` facade for RGB-D.
+
+    The ORB geometric front-end attaches via ``frontend`` (feature matches
+    feed the tracking chi^2 term); without it the tracker runs pure
+    rendering-based refinement from the motion model — the reference's own
+    fallback when ORB fails (``src/Tracking.cc:339-350``).
+    """
+
+    def __init__(
+        self,
+        config: SystemConfig | str | dict,
+        max_keyframes: int = 128,
+        raster: Optional[RasterConfig] = None,
+        bins_ttl: int = 10,
+        bins_refresh_per_frame: int = 3,
+        seed: int = 0,
+    ):
+        self.cfg = config if isinstance(config, SystemConfig) else load_config(config)
+        cc = self.cfg.camera
+        self.cam = Camera(
+            fx=cc.fx, fy=cc.fy, cx=cc.cx, cy=cc.cy, width=cc.width, height=cc.height
+        )
+        self.rcfg = raster or RasterConfig(
+            tile=16, tile_capacity=1024, max_dup=16, chunk=128, dilate_px=8.0
+        )
+        self.gm: GaussianMap = empty_map(self.cfg.mapping.max_gaussians)
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed)
+
+        self.max_keyframes = max_keyframes
+        self.bins_ttl = bins_ttl
+        self.bins_refresh_per_frame = bins_refresh_per_frame
+
+        # Device keyframe pools (uint8 colors to quarter the footprint).
+        H, Wd = self.cam.height, self.cam.width
+        ty = -(-H // self.rcfg.tile)
+        tx = -(-Wd // self.rcfg.tile)
+        n_tiles = ty * tx
+        cap = self.rcfg.tile_capacity
+        self._kf_colors = jnp.zeros((max_keyframes, H, Wd, 3), jnp.uint8)
+        self._kf_depths = jnp.zeros((max_keyframes, H, Wd), jnp.float32)
+        self._kf_bins_idx = jnp.full((max_keyframes, n_tiles, cap), -1, jnp.int32)
+        self._kf_bins_cnt = jnp.zeros((max_keyframes, n_tiles), jnp.int32)
+
+        self.keyframes: list[W.KeyFrameMeta] = []
+        self.trajectory: list[FrameRecord] = []
+        self.frame_id = 0
+        self.last_kf_frame_id = -(10**9)
+        self.velocity = np.eye(4, dtype=np.float32)  # T_cur_prev motion model
+        self.last_T_cw = np.eye(4, dtype=np.float32)
+        self.max_frames_between_kf = int(self.cfg.camera.fps)
+
+        self.timings = {"track": 0.0, "map": 0.0, "n_track": 0, "n_map": 0}
+        self._build_jits()
+
+    # ------------------------------------------------------------------ jits
+
+    def _build_jits(self):
+        cam, rcfg, mcfg, tcfg = self.cam, self.rcfg, self.cfg.mapping, self.cfg.tracking
+
+        @jax.jit
+        def _bin(gm: GaussianMap, T_cw):
+            prep = preprocess(
+                gm.means, gm.rgb, gm.quats, gm.logit_opacities, gm.log_scales,
+                gm.active, T_cw, cam, mcfg.scale_modifier,
+            )
+            return bin_gaussians(prep, cam, rcfg)
+
+        @jax.jit
+        def _render(gm: GaussianMap, T_cw, bins: TileBins):
+            prep = preprocess(
+                gm.means, gm.rgb, gm.quats, gm.logit_opacities, gm.log_scales,
+                gm.active, T_cw, cam, mcfg.scale_modifier,
+            )
+            return render_tiled(prep, bins, cam, rcfg, bg=mcfg.background_color)
+
+        def _track(gm, T_init, color, depth, matches, bins, n_iters):
+            return T.track_frame(
+                gm, T_init, color, depth, matches, cam, tcfg, rcfg,
+                num_iters=n_iters, bins=bins,
+            )
+
+        self._track_jit = jax.jit(_track, static_argnames=("n_iters",))
+
+        @jax.jit
+        def _densify(gm, out, color, depth, T_cw):
+            return M.densify_frame(gm, out, color, depth, T_cw, cam, mcfg)
+
+        self._densify_jit = _densify
+
+        def _map(gm, frames, key, n_iters, init_mode):
+            return M.map_window(
+                gm, frames, key, cam, mcfg, rcfg,
+                num_iters=n_iters, init_mode=init_mode,
+            )
+
+        self._map_jit = jax.jit(_map, static_argnames=("n_iters", "init_mode"))
+
+        @jax.jit
+        def _gather_window(
+            kf_colors, kf_depths, kf_bins_idx, kf_bins_cnt, kf_poses, ids,
+            cur_color, cur_depth, cur_pose, cur_bins_idx, cur_bins_cnt, n_frames,
+        ):
+            colors = jnp.concatenate(
+                [cur_color[None], kf_colors[ids].astype(jnp.float32) / 255.0]
+            )
+            depths = jnp.concatenate([cur_depth[None], kf_depths[ids]])
+            poses = jnp.concatenate([cur_pose[None], kf_poses])
+            bi = jnp.concatenate([cur_bins_idx[None], kf_bins_idx[ids]])
+            bc = jnp.concatenate([cur_bins_cnt[None], kf_bins_cnt[ids]])
+            return M.WindowFrames(
+                colors=colors, depths=depths, poses=poses,
+                bins_indices=bi, bins_counts=bc, n_frames=n_frames,
+            )
+
+        self._bin_jit = _bin
+        self._render_jit = _render
+        self._gather_window_jit = _gather_window
+
+    # ------------------------------------------------------------- keyframes
+
+    def _create_keyframe(self, color, depth, T_cw: np.ndarray) -> W.KeyFrameMeta:
+        kf_id = len(self.keyframes)
+        if kf_id >= self.max_keyframes:
+            # Pool full: recycle the oldest non-anchor slot.
+            kf_id = 4 + (len(self.keyframes) % (self.max_keyframes - 4))
+        ref_pts = W.sample_reference_points(
+            np.asarray(depth), self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+            n_points=self.cfg.tracking.n_ref_points, rng=self.rng,
+        )
+        meta = W.KeyFrameMeta(
+            kf_id=kf_id,
+            frame_id=self.frame_id,
+            T_cw=np.asarray(T_cw, np.float32),
+            ref_points_cam=ref_pts,
+        )
+        color_u8 = jnp.asarray(
+            np.clip(np.asarray(color) * 255.0, 0, 255).astype(np.uint8)
+        )
+        self._kf_colors = self._kf_colors.at[kf_id].set(color_u8)
+        self._kf_depths = self._kf_depths.at[kf_id].set(jnp.asarray(depth))
+        if kf_id < len(self.keyframes):
+            self.keyframes[kf_id] = meta
+        else:
+            self.keyframes.append(meta)
+        self.last_kf_frame_id = self.frame_id
+        return meta
+
+    def _refresh_kf_bins(self, kf_ids: list[int]) -> None:
+        """Rebuild stale cached bins for up to bins_refresh_per_frame KFs."""
+        stale = [
+            i for i in kf_ids
+            if self.frame_id - self.keyframes[i].bins_built_at > self.bins_ttl
+        ]
+        stale.sort(key=lambda i: self.keyframes[i].bins_built_at)
+        for i in stale[: self.bins_refresh_per_frame]:
+            kf = self.keyframes[i]
+            bins = self._bin_jit(self.gm, jnp.asarray(kf.T_cw))
+            self._kf_bins_idx = self._kf_bins_idx.at[i].set(bins.indices)
+            self._kf_bins_cnt = self._kf_bins_cnt.at[i].set(bins.counts)
+            kf.bins_built_at = self.frame_id
+
+    def _invalidate_all_bins(self) -> None:
+        for kf in self.keyframes:
+            kf.bins_built_at = -(10**9)
+
+    # ----------------------------------------------------------------- track
+
+    def track_rgbd(
+        self,
+        rgb: np.ndarray,
+        depth: np.ndarray,
+        timestamp: float = 0.0,
+        matches: Optional[T.FeatureMatches] = None,
+    ) -> np.ndarray:
+        """Process one RGB-D frame; returns the estimated T_cw [4,4].
+
+        The reference entry point chain ``System::TrackRGBD`` ->
+        ``Tracking::GrabImageRGBD`` -> ``TrackWithGaussian``
+        (``src/System.cc:229``, ``src/Tracking.cc:250-451``).
+        """
+        color = jnp.asarray(np.asarray(rgb, np.float32))
+        d = jnp.asarray(np.asarray(depth, np.float32))
+        matches = matches if matches is not None else T.FeatureMatches.empty()
+
+        if self.frame_id == 0:
+            T_cw = np.eye(4, dtype=np.float32)
+            self._initialize(color, d, T_cw)
+        else:
+            T_cw = self._track_and_map(color, d, matches)
+
+        self.last_T_cw = T_cw
+        rec = self.trajectory[-1]
+        rec.timestamp = timestamp
+        self.frame_id += 1
+        return T_cw
+
+    def _initialize(self, color, depth, T_cw: np.ndarray):
+        """Frame 0: dense seed + warm-up (``StereoInitialization`` ->
+        ``Render::InitWorld``, ``src/Tracking.cc:741-830``)."""
+        t0 = time.perf_counter()
+        self.gm = M.seed_from_frame(
+            self.gm, color, depth, jnp.asarray(T_cw), self.cam, self.cfg.mapping
+        )
+        bins = self._bin_jit(self.gm, jnp.asarray(T_cw))
+        frames = M.WindowFrames(
+            colors=color[None],
+            depths=depth[None],
+            poses=jnp.asarray(T_cw)[None],
+            bins_indices=bins.indices[None],
+            bins_counts=bins.counts[None],
+            n_frames=jnp.asarray(1, jnp.int32),
+        )
+        self.key, sub = jax.random.split(self.key)
+        self.gm, _ = self._map_jit(
+            self.gm, frames, sub,
+            n_iters=self.cfg.mapping.init_iters, init_mode=True,
+        )
+        self._create_keyframe(color, depth, T_cw)
+        self._refresh_kf_bins([self.keyframes[-1].kf_id])
+        self.timings["map"] += time.perf_counter() - t0
+        self.timings["n_map"] += 1
+        self.trajectory.append(
+            FrameRecord(self.frame_id, 0.0, T_cw, True, 0.0, 0)
+        )
+
+    def _track_and_map(self, color, depth, matches) -> np.ndarray:
+        cfg = self.cfg
+        # Motion model (Tracking::TrackWithMotionModel seed).
+        T_init = (self.velocity @ self.last_T_cw).astype(np.float32)
+
+        t0 = time.perf_counter()
+        bins = self._bin_jit(self.gm, jnp.asarray(T_init))
+        res = self._track_jit(
+            self.gm, jnp.asarray(T_init), color, depth, matches, bins,
+            n_iters=cfg.tracking.num_iters,
+        )
+        T_cw = np.asarray(res.T_cw)
+        self.timings["track"] += time.perf_counter() - t0
+        self.timings["n_track"] += 1
+        self.velocity = (T_cw @ np.linalg.inv(self.last_T_cw)).astype(np.float32)
+
+        # Keyframe decision (novel-view overlap; ORB gates join later).
+        ref_kf = self.keyframes[-1] if self.keyframes else None
+        is_kf = False
+        if ref_kf is not None:
+            novel = W.need_new_keyframe_visual(
+                ref_kf, T_cw, self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+                self.cam.width, self.cam.height, cfg.tracking.overlap_threshold,
+            )
+            is_kf = novel or (
+                self.frame_id - self.last_kf_frame_id >= self.max_frames_between_kf
+            )
+        if is_kf:
+            self._create_keyframe(color, depth, T_cw)
+
+        t0 = time.perf_counter()
+        # Periodic prune (mask-only: cached bins stay valid).
+        if self.frame_id % cfg.mapping.prune_every == 0:
+            self.gm = M.prune_map(self.gm, cfg.mapping)
+        # Near-capacity compaction invalidates cached bins.
+        if int(self.gm.count) > 0.9 * self.gm.capacity:
+            self.gm = compact(self.gm)
+            self._invalidate_all_bins()
+
+        # Render at tracked pose (reusing tracking bins) for densification.
+        out = self._render_jit(self.gm, jnp.asarray(T_cw), bins)
+        self.gm, _n_added = self._densify_jit(
+            self.gm, out, color, depth, jnp.asarray(T_cw)
+        )
+
+        # Window selection + mapping.
+        sel = W.select_window(
+            self.keyframes, ref_kf, self.frame_id,
+            self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+            self.cam.width, self.cam.height, self.rng,
+            n_covis=cfg.mapping.covis_window,
+            n_random_fill=cfg.mapping.window_size - cfg.mapping.covis_window,
+            n_recent_ba=cfg.mapping.recent_ba_window,
+            n_anchor=cfg.mapping.anchor_frames,
+        )
+        win_ids = sel.kf_ids[: cfg.mapping.window_size - 1]
+        self._refresh_kf_bins(win_ids)
+
+        # Fresh bins at the tracked pose AFTER densify: the window's
+        # current-frame entry must see the newly added splats.
+        cur_bins = self._bin_jit(self.gm, jnp.asarray(T_cw))
+        ids = jnp.asarray(
+            np.pad(win_ids, (0, max(0, (cfg.mapping.window_size - 1) - len(win_ids))),
+                   constant_values=0),
+            jnp.int32,
+        )
+        kf_poses = jnp.asarray(
+            np.stack(
+                [self.keyframes[i].T_cw for i in win_ids]
+                + [np.eye(4, dtype=np.float32)]
+                * max(0, (cfg.mapping.window_size - 1) - len(win_ids))
+            )
+        )
+        frames = self._gather_window_jit(
+            self._kf_colors, self._kf_depths, self._kf_bins_idx, self._kf_bins_cnt,
+            kf_poses, ids, color, depth, jnp.asarray(T_cw),
+            cur_bins.indices, cur_bins.counts,
+            jnp.asarray(1 + len(win_ids), jnp.int32),
+        )
+        self.key, sub = jax.random.split(self.key)
+        self.gm, _losses = self._map_jit(
+            self.gm, frames, sub, n_iters=cfg.mapping.num_iters, init_mode=False
+        )
+        self.timings["map"] += time.perf_counter() - t0
+        self.timings["n_map"] += 1
+
+        self.trajectory.append(
+            FrameRecord(
+                self.frame_id, 0.0, T_cw, is_kf,
+                float(res.loss), int(res.n_iters),
+            )
+        )
+        return T_cw
+
+    # ------------------------------------------------------------------ eval
+
+    def get_trajectory(self) -> list[tuple[float, np.ndarray]]:
+        return [(r.timestamp, r.T_cw) for r in self.trajectory]
+
+    def render_view(self, T_cw: np.ndarray):
+        """Render any pose (the ``Render::Viwer`` GUI hook,
+        ``src/Render.cc:179-193``)."""
+        bins = self._bin_jit(self.gm, jnp.asarray(T_cw))
+        return self._render_jit(self.gm, jnp.asarray(T_cw), bins)
+
+    def shutdown_summary(self) -> dict:
+        """Timing/stats contract of ``SavePlyAndPrintTime``
+        (``src/Render.cc:167-174``)."""
+        t = self.timings
+        return {
+            "total_gaussians": int(self.gm.n_active()),
+            "avg_tracking_s": t["track"] / max(t["n_track"], 1),
+            "avg_mapping_s": t["map"] / max(t["n_map"], 1),
+            "total_tracking_s": t["track"],
+            "total_mapping_s": t["map"],
+            "n_keyframes": len(self.keyframes),
+            "n_frames": self.frame_id,
+        }

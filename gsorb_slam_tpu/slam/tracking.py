@@ -1,0 +1,202 @@
+"""Tracking-by-rendering: camera pose refinement against the Gaussian map.
+
+TPU-native equivalent of ``Render::RenderStartTraking``
+(``src/Render.cc:985-1141``): Adam on an unnormalized quaternion +
+translation, loss =
+
+    imWeight * maskedSumL1(color) + depthWeight * maskedSumL1(depth)
+    + featureWeight * sum(chi^2 ORB reprojection over inliers)
+
+with the pixel mask = rendered-alpha > 0.99 & valid gt depth, the feature
+inlier set re-gated once at the halfway iteration (chi^2 < 5.991,
+``src/Render.cc:1081-1084``), the best-loss pose kept, and early stopping on
+|dloss| < 1e-3 (``:1101-1111``).
+
+Architectural difference from the reference: the whole iteration loop is ONE
+jitted ``lax.scan`` (fixed trip count; early-stop freezes updates rather
+than breaking), and each iteration does ONE rasterization — the combined
+renderer emits color/depth/median-depth/alpha together, where the reference
+launches two CUDA rasterizations per iteration. Tile bins are built once
+from the initial pose and reused for all iterations (sort amortization;
+``dilate_px`` covers the pose drift).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gsorb_slam_tpu.core.camera import Camera
+from gsorb_slam_tpu.core.config import TrackingConfig
+from gsorb_slam_tpu.core.transforms import matrix_to_pose, pose_to_matrix
+from gsorb_slam_tpu.ops.losses import l1_tracking
+from gsorb_slam_tpu.raster.binning import TileBins, bin_gaussians
+from gsorb_slam_tpu.raster.preprocess import preprocess
+from gsorb_slam_tpu.raster.tiled import render_tiled
+from gsorb_slam_tpu.raster.types import RasterConfig
+from gsorb_slam_tpu.splat.gaussians import (
+    GaussianMap,
+    init_pose_state,
+    pose_adam_step,
+)
+
+CHI2_INLIER = 5.991  # 95% chi^2 with 2 DoF (src/Render.cc:1081)
+
+
+class FeatureMatches(NamedTuple):
+    """Padded ORB map-point matches for the reprojection term.
+
+    ``obs_uv`` are undistorted pixel observations, ``world`` the matched
+    MapPoint positions, ``inv_sigma2`` the per-octave information weights
+    (``CurrentFrame.mvInvLevelSigma2``), ``valid`` the padding mask.
+    """
+
+    obs_uv: jnp.ndarray  # [M, 2]
+    world: jnp.ndarray  # [M, 3]
+    inv_sigma2: jnp.ndarray  # [M]
+    valid: jnp.ndarray  # [M] bool
+
+    @staticmethod
+    def empty(m: int = 8) -> "FeatureMatches":
+        return FeatureMatches(
+            obs_uv=jnp.zeros((m, 2), jnp.float32),
+            world=jnp.zeros((m, 3), jnp.float32),
+            inv_sigma2=jnp.ones((m,), jnp.float32),
+            valid=jnp.zeros((m,), bool),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrackResult:
+    T_cw: jnp.ndarray  # [4, 4] best pose
+    loss: jnp.ndarray  # [] best loss
+    n_iters: jnp.ndarray  # [] int32 iterations actually applied
+    chi2: jnp.ndarray  # [M] final per-match chi^2 (for outlier removal)
+    inliers: jnp.ndarray  # [M] bool final inlier gate
+
+
+def reprojection_chi2(
+    T_cw: jnp.ndarray, matches: FeatureMatches, cam: Camera
+) -> jnp.ndarray:
+    """Per-match chi^2 = invSigma2 * ||project(Tcw X) - obs||^2, the
+    reference's batched bmm chain (``src/Render.cc:1058-1075``)."""
+    R = T_cw[:3, :3]
+    t = T_cw[:3, 3]
+    xc = (
+        jnp.matmul(matches.world, R.T, precision=jax.lax.Precision.HIGHEST) + t
+    )  # [M, 3]
+    z = xc[:, 2]
+    safe_z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    u = cam.fx * xc[:, 0] / safe_z + cam.cx
+    v = cam.fy * xc[:, 1] / safe_z + cam.cy
+    du = u - matches.obs_uv[:, 0]
+    dv = v - matches.obs_uv[:, 1]
+    return matches.inv_sigma2 * (du * du + dv * dv)
+
+
+def track_frame(
+    gm: GaussianMap,
+    T_cw_init: jnp.ndarray,
+    gt_color: jnp.ndarray,  # [H, W, 3]
+    gt_depth: jnp.ndarray,  # [H, W], 0 = invalid
+    matches: FeatureMatches,
+    cam: Camera,
+    tcfg: TrackingConfig,
+    rcfg: RasterConfig,
+    num_iters: int | None = None,
+    bins: TileBins | None = None,
+) -> TrackResult:
+    """Optimize the camera pose of one frame against the current map."""
+    num_iters = int(num_iters or tcfg.num_iters)
+    quat0, trans0 = matrix_to_pose(T_cw_init)
+    ps0 = init_pose_state(quat0, trans0)
+
+    if bins is None:
+        prep0 = preprocess(
+            gm.means, gm.rgb, gm.quats, gm.logit_opacities, gm.log_scales,
+            gm.active, jax.lax.stop_gradient(T_cw_init), cam,
+        )
+        bins = bin_gaussians(prep0, cam, rcfg)
+
+    regate_iter = num_iters // 2  # feature_clear (src/Render.cc:1052)
+
+    def loss_fn(quat, trans, inlier_mask):
+        T_cw = pose_to_matrix(quat, trans)
+        prep = preprocess(
+            gm.means, gm.rgb, gm.quats, gm.logit_opacities, gm.log_scales,
+            gm.active, T_cw, cam,
+        )
+        out = render_tiled(prep, bins, cam, rcfg)
+        mask = (out.alpha > 0.99) & (gt_depth > 0)
+        mask = jax.lax.stop_gradient(mask)
+        image_l1 = l1_tracking(out.color, gt_color, mask)
+        depth_pred = out.median_depth if tcfg.use_sur_depth else out.depth
+        depth_l1 = l1_tracking(depth_pred, gt_depth, mask)
+        chi2 = reprojection_chi2(T_cw, matches, cam)
+        chi2 = jnp.where(matches.valid & inlier_mask, chi2, 0.0)
+        loss = (
+            tcfg.im_weight * image_l1
+            + tcfg.depth_weight * depth_l1
+            + tcfg.feature_weight * jnp.sum(chi2)
+        )
+        return loss, chi2
+
+    def step(carry, it):
+        ps, inliers, best_q, best_t, best_loss, last_loss, stopped, n_applied = carry
+        (loss, chi2), (gq, gt_) = jax.value_and_grad(
+            lambda q, t: loss_fn(q, t, inliers), argnums=(0, 1), has_aux=True
+        )(ps.quat, ps.trans)
+
+        # Halfway inlier re-gate on the current pose's raw chi^2.
+        new_inliers = jnp.where(
+            it == regate_iter,
+            reprojection_chi2(pose_to_matrix(ps.quat, ps.trans), matches, cam)
+            < CHI2_INLIER,
+            inliers,
+        )
+
+        improved = (~stopped) & jnp.isfinite(loss) & (loss < best_loss)
+        best_q = jnp.where(improved, ps.quat, best_q)
+        best_t = jnp.where(improved, ps.trans, best_t)
+        best_loss = jnp.where(improved, loss, best_loss)
+
+        converged = jnp.abs(last_loss - loss) < tcfg.early_stop_delta
+        new_stopped = stopped | converged
+
+        ps_next = pose_adam_step(ps, gq, gt_, tcfg)
+        ps_next = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(stopped, old, new), ps_next, ps
+        )
+        n_applied = n_applied + (~stopped).astype(jnp.int32)
+        return (
+            ps_next, new_inliers, best_q, best_t, best_loss, loss, new_stopped, n_applied
+        ), None
+
+    inliers0 = jnp.ones_like(matches.valid)
+    carry0 = (
+        ps0,
+        inliers0,
+        quat0,
+        trans0,
+        jnp.asarray(jnp.inf, jnp.float32),
+        jnp.asarray(0.0, jnp.float32),
+        jnp.asarray(False),
+        jnp.asarray(0, jnp.int32),
+    )
+    (ps, inliers, best_q, best_t, best_loss, _, _, n_applied), _ = jax.lax.scan(
+        step, carry0, jnp.arange(num_iters)
+    )
+
+    T_best = pose_to_matrix(best_q, best_t)
+    chi2_final = reprojection_chi2(T_best, matches, cam)
+    return TrackResult(
+        T_cw=T_best,
+        loss=best_loss,
+        n_iters=n_applied,
+        chi2=chi2_final,
+        inliers=inliers & matches.valid,
+    )

@@ -1,0 +1,122 @@
+import jax
+import numpy as np
+import pytest
+
+
+def test_mesh_has_8_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_2():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(2)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    lowered = jax.jit(fn).lower(*args)
+    compiled = lowered.compile()
+    loss, color = compiled(*args)
+    assert np.isfinite(float(loss))
+    assert color.shape == (240, 320, 3)
+
+
+def test_parallel_step_matches_single_device():
+    """The 2-device data-parallel mapping step must equal the single-device
+    batched step (same psum'd gradients)."""
+    import jax.numpy as jnp
+
+    from gsorb_slam_tpu.core.camera import Camera
+    from gsorb_slam_tpu.core.config import MappingConfig
+    from gsorb_slam_tpu.parallel.mesh import (
+        make_mesh,
+        parallel_window_step,
+        replicate_map,
+        shard_frames,
+    )
+    from gsorb_slam_tpu.raster import RasterConfig, bin_gaussians, preprocess
+    from gsorb_slam_tpu.slam.mapping import WindowFrames, seed_from_frame
+    from gsorb_slam_tpu.splat.gaussians import empty_map
+
+    cam = Camera(fx=60.0, fy=60.0, cx=32.0, cy=24.0, width=64, height=48)
+    mcfg = MappingConfig(max_gaussians=4096)
+    rcfg = RasterConfig(tile=16, tile_capacity=2048, max_dup=16, chunk=128)
+
+    gm = empty_map(mcfg.max_gaussians)
+    depth0 = jnp.full((48, 64), 2.0)
+    color0 = jnp.tile(jnp.linspace(0, 1, 64)[None, :, None], (48, 1, 3)).astype(
+        jnp.float32
+    )
+    gm = seed_from_frame(gm, color0, depth0, jnp.eye(4), cam, mcfg)
+
+    poses, bidx, bcnt = [], [], []
+    for i in range(2):
+        T = jnp.eye(4).at[0, 3].set(0.01 * i)
+        prep = preprocess(
+            gm.means, gm.rgb, gm.quats, gm.logit_opacities, gm.log_scales,
+            gm.active, T, cam,
+        )
+        b = bin_gaussians(prep, cam, rcfg)
+        poses.append(T)
+        bidx.append(b.indices)
+        bcnt.append(b.counts)
+    frames = WindowFrames(
+        colors=jnp.tile(color0[None], (2, 1, 1, 1)),
+        depths=jnp.tile(depth0[None], (2, 1, 1)),
+        poses=jnp.stack(poses),
+        bins_indices=jnp.stack(bidx),
+        bins_counts=jnp.stack(bcnt),
+        n_frames=jnp.asarray(2, jnp.int32),
+    )
+
+    mesh = make_mesh(2)
+    gm_rep = replicate_map(gm, mesh)
+    fr_sh = shard_frames(frames, mesh)
+    gm_par, loss_par = jax.jit(
+        lambda g, f: parallel_window_step(g, f, mesh, cam, mcfg, rcfg)
+    )(gm_rep, fr_sh)
+
+    # Single-device equivalent: mean gradient over both frames.
+    import dataclasses
+
+    from gsorb_slam_tpu.raster.binning import TileBins
+    from gsorb_slam_tpu.raster.tiled import render_tiled
+    from gsorb_slam_tpu.slam.mapping import _mapping_loss
+    from gsorb_slam_tpu.splat.gaussians import adam_step, map_learning_rates
+
+    def loss_fn(params):
+        g2 = dataclasses.replace(gm, **params)
+        total = 0.0
+        for i in range(2):
+            prep = preprocess(
+                g2.means, g2.rgb, g2.quats, g2.logit_opacities, g2.log_scales,
+                g2.active, frames.poses[i], cam, mcfg.scale_modifier,
+            )
+            bins = TileBins(
+                indices=frames.bins_indices[i],
+                counts=frames.bins_counts[i],
+                n_dropped=jnp.zeros((), jnp.int32),
+            )
+            out = render_tiled(prep, bins, cam, rcfg, bg=mcfg.background_color)
+            total = total + _mapping_loss(g2, out, frames.colors[i], frames.depths[i], mcfg, False)
+        return total / 2.0
+
+    loss_ref, grads = jax.value_and_grad(loss_fn)(gm.params())
+    gm_ref = adam_step(gm, grads, map_learning_rates(mcfg))
+
+    assert float(loss_par) == pytest.approx(float(loss_ref), rel=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gm_par.means), np.asarray(gm_ref.means), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(gm_par.rgb), np.asarray(gm_ref.rgb), atol=1e-6
+    )
