@@ -34,7 +34,7 @@ from gsorb_slam_tpu.core.camera import Camera
 from gsorb_slam_tpu.core.config import MappingConfig
 from gsorb_slam_tpu.raster.binning import TileBins
 from gsorb_slam_tpu.raster.preprocess import preprocess
-from gsorb_slam_tpu.raster.tiled import render_tiled
+from gsorb_slam_tpu.raster.tiled import render_binned
 from gsorb_slam_tpu.raster.types import RasterConfig
 from gsorb_slam_tpu.slam.mapping import WindowFrames, _mapping_loss
 from gsorb_slam_tpu.splat.gaussians import GaussianMap, adam_step, map_learning_rates
@@ -112,7 +112,7 @@ def parallel_window_step(
             bins = TileBins(
                 indices=b_idx[0], counts=b_cnt[0], n_dropped=jnp.zeros((), jnp.int32)
             )
-            out = render_tiled(prep, bins, cam, rcfg, bg=mcfg.background_color)
+            out = render_binned(prep, bins, cam, rcfg, bg=mcfg.background_color)
             return _mapping_loss(g2, out, colors[0], depths[0], mcfg, False)
 
         loss, grads = jax.value_and_grad(loss_fn)(gm_rep.params())

@@ -145,6 +145,26 @@ def render_tiled(
     )
 
 
+def render_binned(
+    prep: Preprocessed,
+    bins: TileBins,
+    cam: Camera,
+    cfg: RasterConfig,
+    bg: jnp.ndarray | float = 0.0,
+) -> RenderOutput:
+    """Backend dispatcher: the Pallas kernels on TPU (VMEM-resident blend,
+    per-tile dynamic trip counts, early exit), the XLA blend elsewhere.
+    Both satisfy the same contract and are cross-validated in tests."""
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from gsorb_slam_tpu.raster.pallas_raster import render_pallas
+
+        return render_pallas(prep, bins, cam, cfg, bg)
+    return render_tiled(prep, bins, cam, cfg, bg)
+
+
 def render(
     means: jnp.ndarray,
     rgb: jnp.ndarray,
@@ -170,4 +190,4 @@ def render(
     )
     if bins is None:
         bins = bin_gaussians(jax.lax.stop_gradient(prep), cam, cfg)
-    return render_tiled(prep, bins, cam, cfg, bg)
+    return render_binned(prep, bins, cam, cfg, bg)

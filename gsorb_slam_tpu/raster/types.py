@@ -33,6 +33,9 @@ class RasterConfig:
     # Extra pixels added to each Gaussian's tile rect so cached bins stay
     # valid while pose/means drift between re-binning episodes.
     dilate_px: float = dataclasses.field(default=0.0, metadata=dict(static=True))
+    # Blend backend: "auto" = Pallas kernels on TPU, XLA elsewhere;
+    # "pallas" / "xla" force one.
+    backend: str = dataclasses.field(default="auto", metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass

@@ -33,7 +33,7 @@ from gsorb_slam_tpu.core.transforms import invert_se3, transform_points
 from gsorb_slam_tpu.ops.losses import l1_mapping, ssim
 from gsorb_slam_tpu.raster.binning import TileBins, bin_gaussians
 from gsorb_slam_tpu.raster.preprocess import preprocess
-from gsorb_slam_tpu.raster.tiled import render_tiled
+from gsorb_slam_tpu.raster.tiled import render_binned
 from gsorb_slam_tpu.raster.types import RasterConfig, RenderOutput
 from gsorb_slam_tpu.splat.gaussians import (
     GaussianMap,
@@ -59,7 +59,7 @@ def _render(gm: GaussianMap, T_cw, bins: TileBins, cam, rcfg, mcfg) -> RenderOut
         gm.means, gm.rgb, gm.quats, gm.logit_opacities, gm.log_scales,
         gm.active, T_cw, cam, mcfg.scale_modifier,
     )
-    return render_tiled(prep, bins, cam, rcfg, bg=mcfg.background_color)
+    return render_binned(prep, bins, cam, rcfg, bg=mcfg.background_color)
 
 
 def densify_frame(

@@ -40,7 +40,7 @@ from gsorb_slam_tpu.core.camera import Camera
 from gsorb_slam_tpu.core.config import SystemConfig, load_config
 from gsorb_slam_tpu.raster.binning import TileBins, bin_gaussians
 from gsorb_slam_tpu.raster.preprocess import preprocess
-from gsorb_slam_tpu.raster.tiled import render_tiled
+from gsorb_slam_tpu.raster.tiled import render_binned
 from gsorb_slam_tpu.raster.types import RasterConfig
 from gsorb_slam_tpu.slam import mapping as M
 from gsorb_slam_tpu.slam import tracking as T
@@ -137,7 +137,7 @@ class System:
                 gm.means, gm.rgb, gm.quats, gm.logit_opacities, gm.log_scales,
                 gm.active, T_cw, cam, mcfg.scale_modifier,
             )
-            return render_tiled(prep, bins, cam, rcfg, bg=mcfg.background_color)
+            return render_binned(prep, bins, cam, rcfg, bg=mcfg.background_color)
 
         def _track(gm, T_init, color, depth, matches, bins, n_iters):
             return T.track_frame(

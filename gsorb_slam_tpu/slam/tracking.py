@@ -34,8 +34,8 @@ from gsorb_slam_tpu.core.config import TrackingConfig
 from gsorb_slam_tpu.core.transforms import matrix_to_pose, pose_to_matrix
 from gsorb_slam_tpu.ops.losses import l1_tracking
 from gsorb_slam_tpu.raster.binning import TileBins, bin_gaussians
+from gsorb_slam_tpu.raster.instances import pack_raw_instances, render_instances
 from gsorb_slam_tpu.raster.preprocess import preprocess
-from gsorb_slam_tpu.raster.tiled import render_tiled
 from gsorb_slam_tpu.raster.types import RasterConfig
 from gsorb_slam_tpu.splat.gaussians import (
     GaussianMap,
@@ -122,15 +122,19 @@ def track_frame(
         )
         bins = bin_gaussians(prep0, cam, rcfg)
 
+    # Amortized instance packing: ONE gather for the whole 200-iteration
+    # loop (see raster/instances.py — per-iteration gathers cost ~35ms).
+    raw = pack_raw_instances(
+        gm.means, gm.rgb, gm.quats, gm.logit_opacities, gm.log_scales,
+        gm.active, bins,
+    )
+    raw = jax.lax.stop_gradient(raw)
+
     regate_iter = num_iters // 2  # feature_clear (src/Render.cc:1052)
 
     def loss_fn(quat, trans, inlier_mask):
         T_cw = pose_to_matrix(quat, trans)
-        prep = preprocess(
-            gm.means, gm.rgb, gm.quats, gm.logit_opacities, gm.log_scales,
-            gm.active, T_cw, cam,
-        )
-        out = render_tiled(prep, bins, cam, rcfg)
+        out = render_instances(raw, bins.counts, T_cw, cam, rcfg)
         mask = (out.alpha > 0.99) & (gt_depth > 0)
         mask = jax.lax.stop_gradient(mask)
         image_l1 = l1_tracking(out.color, gt_color, mask)
