@@ -161,6 +161,50 @@ def skew(w: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def so3_log(R: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """Rotation matrix ``[..., 3, 3]`` -> axis-angle ``[..., 3]``."""
+    tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
+    theta = jnp.arccos(cos_t)
+    w = jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    sin_t = jnp.sin(theta)
+    scale = jnp.where(
+        theta[..., None] > eps, theta[..., None] / (2.0 * jnp.maximum(sin_t[..., None], eps)), 0.5
+    )
+    return w * scale
+
+
+def se3_log(T: jnp.ndarray, eps: float = 1e-3) -> jnp.ndarray:
+    """Rigid transform ``[..., 4, 4]`` -> twist ``[..., 6]`` (rho, phi).
+
+    ``eps`` gates the small-angle Taylor branch; in f32 the closed form
+    ``(1 - theta sin/(2(1-cos)))/theta^2`` cancels catastrophically below
+    ~1e-3 rad, so the branch threshold is deliberately wide.
+    """
+    phi = so3_log(T[..., :3, :3], eps)
+    theta = jnp.linalg.norm(phi, axis=-1, keepdims=True)
+    safe = jnp.maximum(theta, eps)
+    K = skew(phi)
+    # V^{-1} = I - K/2 + (1/theta^2)(1 - theta sin/(2(1-cos))) K^2
+    half_cot = jnp.where(
+        theta[..., None] > eps,
+        (1.0 - safe[..., None] * jnp.sin(safe)[..., None] / (2.0 * (1.0 - jnp.cos(safe))[..., None]))
+        / (safe * safe)[..., None],
+        1.0 / 12.0,
+    )
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), K.shape)
+    Vinv = eye - 0.5 * K + half_cot * jnp.matmul(K, K, precision=HIGHEST)
+    rho = jnp.einsum("...ij,...j->...i", Vinv, T[..., :3, 3], precision=HIGHEST)
+    return jnp.concatenate([rho, phi], axis=-1)
+
+
 def se3_exp(xi: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     """se(3) twist ``[..., 6]`` (rho, phi) -> ``T [..., 4, 4]``."""
     rho, phi = xi[..., :3], xi[..., 3:]

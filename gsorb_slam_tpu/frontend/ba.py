@@ -1,0 +1,285 @@
+"""Bundle-adjustment solvers: the g2o-equivalent layer.
+
+Replaces the reference's vendored g2o usage (``src/Optimizer.cc``) with
+explicit robust Gauss-Newton/Levenberg-Marquardt in jnp:
+
+- :func:`pose_optimization` = ``Optimizer::PoseOptimization``
+  (``src/Optimizer.cc:239-452``): 4 rounds x 10 iterations on one SE3
+  vertex with monocular reprojection edges, Huber delta = sqrt(5.991),
+  chi^2 outlier toggling between rounds.
+- :func:`local_bundle_adjustment` = ``Optimizer::LocalBundleAdjustment``
+  (``src/Optimizer.cc:453-780``): joint poses+points refinement. Instead of
+  g2o's sparse Schur solver, the landmark update is closed-form per point
+  (3x3 solves, fully batched on the VPU) alternated with batched per-pose
+  6x6 solves — a block-coordinate Gauss-Seidel that exploits the TPU's
+  batched-small-solve strength and needs no sparse assembly.
+
+Poses use se(3) twists around the current estimate (``se3_exp``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gsorb_slam_tpu.core.camera import Camera
+from gsorb_slam_tpu.core.transforms import se3_exp
+
+CHI2_MONO = 5.991
+HUBER_MONO = jnp.sqrt(CHI2_MONO)
+
+
+def _project_residual(T_cw, world, obs_uv, cam: Camera):
+    """Residual [M,2], camera point [M,3]."""
+    R = T_cw[:3, :3]
+    t = T_cw[:3, 3]
+    xc = jnp.matmul(world, R.T, precision=jax.lax.Precision.HIGHEST) + t
+    z = jnp.where(xc[:, 2] > 1e-6, xc[:, 2], 1e-6)
+    u = cam.fx * xc[:, 0] / z + cam.cx
+    v = cam.fy * xc[:, 1] / z + cam.cy
+    return jnp.stack([u - obs_uv[:, 0], v - obs_uv[:, 1]], -1), xc
+
+
+def _pose_jacobian(xc, cam: Camera):
+    """d(residual)/d(twist [rho, phi]) in the camera frame: [M, 2, 6]."""
+    x, y, z = xc[:, 0], xc[:, 1], jnp.maximum(xc[:, 2], 1e-6)
+    iz = 1.0 / z
+    iz2 = iz * iz
+    fx, fy = cam.fx, cam.fy
+    # du/d(translation), du/d(rotation) for perturbation T <- exp(xi) T.
+    ju = jnp.stack(
+        [
+            fx * iz,
+            jnp.zeros_like(z),
+            -fx * x * iz2,
+            -fx * x * y * iz2,
+            fx * (1.0 + x * x * iz2),
+            -fx * y * iz,
+        ],
+        -1,
+    )
+    jv = jnp.stack(
+        [
+            jnp.zeros_like(z),
+            fy * iz,
+            -fy * y * iz2,
+            -fy * (1.0 + y * y * iz2),
+            fy * x * y * iz2,
+            fy * x * iz,
+        ],
+        -1,
+    )
+    return jnp.stack([ju, jv], 1)  # [M, 2, 6]
+
+
+def _huber_weight(chi2, delta):
+    """Huber IRLS weight on the chi^2 (g2o RobustKernelHuber semantics)."""
+    e = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+    return jnp.where(e <= delta, 1.0, delta / e)
+
+
+class PoseOptResult(NamedTuple):
+    T_cw: jnp.ndarray  # [4, 4]
+    inliers: jnp.ndarray  # [M] bool
+    chi2: jnp.ndarray  # [M]
+    n_inliers: jnp.ndarray  # [] int32
+
+
+def pose_optimization(
+    T_init: jnp.ndarray,
+    world: jnp.ndarray,  # [M, 3]
+    obs_uv: jnp.ndarray,  # [M, 2]
+    inv_sigma2: jnp.ndarray,  # [M]
+    valid: jnp.ndarray,  # [M] bool
+    cam: Camera,
+    rounds: int = 4,
+    iters_per_round: int = 10,
+    damping: float = 1e-4,
+) -> PoseOptResult:
+    """Motion-only BA with the reference's 4x10 round structure and chi^2
+    re-gating between rounds (``src/Optimizer.cc:239-452``)."""
+
+    def gn_iters(T, inliers):
+        def it(_, T):
+            r, xc = _project_residual(T, world, obs_uv, cam)
+            chi2 = inv_sigma2 * jnp.sum(r * r, -1)
+            w = inv_sigma2 * _huber_weight(chi2, HUBER_MONO)
+            w = jnp.where(valid & inliers, w, 0.0)
+            J = _pose_jacobian(xc, cam)  # [M, 2, 6]
+            JtW = J * w[:, None, None]
+            H = jnp.einsum("mri,mrj->ij", JtW, J) + damping * jnp.eye(6)
+            b = jnp.einsum("mri,mr->i", JtW, r)
+            dx = -jnp.linalg.solve(H, b)
+            return se3_exp(dx) @ T
+
+        return jax.lax.fori_loop(0, iters_per_round, it, T)
+
+    T = T_init
+    inliers = jnp.ones(world.shape[0], bool)
+    for _ in range(rounds):
+        T = gn_iters(T, inliers)
+        r, _ = _project_residual(T, world, obs_uv, cam)
+        chi2 = inv_sigma2 * jnp.sum(r * r, -1)
+        inliers = chi2 <= CHI2_MONO
+    r, _ = _project_residual(T, world, obs_uv, cam)
+    chi2 = inv_sigma2 * jnp.sum(r * r, -1)
+    inliers = valid & (chi2 <= CHI2_MONO)
+    return PoseOptResult(
+        T_cw=T, inliers=inliers, chi2=chi2, n_inliers=jnp.sum(inliers.astype(jnp.int32))
+    )
+
+
+def pose_graph_optimization(
+    poses: jnp.ndarray,  # [K, 4, 4] T_cw
+    edge_i: jnp.ndarray,  # [E] int32
+    edge_j: jnp.ndarray,  # [E] int32
+    rel_ij: jnp.ndarray,  # [E, 4, 4] measured T_i_cw @ T_j_cw^{-1}
+    edge_w: jnp.ndarray,  # [E] weights
+    fixed_mask: jnp.ndarray,  # [K] bool
+    iters: int = 20,
+    damping: float = 1e-3,
+) -> jnp.ndarray:
+    """SE3 pose-graph optimization — the RGB-D (fixed-scale) analog of
+    ``OptimizeEssentialGraph`` (``src/Optimizer.cc:782-1045``).
+
+    Residual per edge: ``log( rel_ij^{-1} · T_i · T_j^{-1} )``; batched
+    Gauss-Seidel on per-node 6x6 systems with identity-approximated residual
+    Jacobians (right/left perturbation) — accurate for the small angular
+    errors loop correction distributes.
+    """
+    from gsorb_slam_tpu.core.transforms import invert_se3, se3_log
+
+    K = poses.shape[0]
+
+    def sweep(_, poses):
+        Ti = poses[edge_i]
+        Tj = poses[edge_j]
+        err = jnp.matmul(
+            invert_se3(rel_ij), jnp.matmul(Ti, invert_se3(Tj))
+        )  # [E, 4, 4]
+        r = se3_log(err)  # [E, 6]
+        w = edge_w[:, None]
+        # J wrt xi_i ~ +I, wrt xi_j ~ -Ad(T_i T_j^{-1}) ~ -I (small-error approx)
+        H = jnp.zeros((K,)).at[edge_i].add(edge_w).at[edge_j].add(edge_w)
+        b = (
+            jnp.zeros((K, 6))
+            .at[edge_i]
+            .add(w * r)
+            .at[edge_j]
+            .add(-w * r)
+        )
+        dx = -b / (H[:, None] + damping)
+        dx = jnp.where(fixed_mask[:, None], 0.0, 0.5 * dx)
+        return jax.vmap(lambda xi, T: se3_exp(xi) @ T)(dx, poses)
+
+    return jax.lax.fori_loop(0, iters, sweep, poses)
+
+
+class LocalBAResult(NamedTuple):
+    poses: jnp.ndarray  # [K, 4, 4]
+    points: jnp.ndarray  # [P, 3]
+    inlier_obs: jnp.ndarray  # [O] bool
+
+
+def local_bundle_adjustment(
+    poses: jnp.ndarray,  # [K, 4, 4] T_cw (index 0 may be held fixed)
+    points: jnp.ndarray,  # [P, 3]
+    obs_kf: jnp.ndarray,  # [O] int32 observation -> keyframe index
+    obs_pt: jnp.ndarray,  # [O] int32 observation -> point index
+    obs_uv: jnp.ndarray,  # [O, 2]
+    obs_inv_sigma2: jnp.ndarray,  # [O]
+    obs_valid: jnp.ndarray,  # [O] bool
+    cam: Camera,
+    fixed_mask: jnp.ndarray | None = None,  # [K] bool poses to hold fixed
+    outer_iters: int = 5,
+    damping: float = 1e-3,
+) -> LocalBAResult:
+    """Local BA via batched block-coordinate Gauss-Seidel.
+
+    Each outer iteration: (a) per-point closed-form 3x3 GN update with all
+    its observations (batched segment sums over O), (b) per-pose 6x6 GN
+    update (batched segment sums), Huber-robust both ways. The reference's
+    5+10 g2o iterations with mid-way outlier removal map onto
+    ``outer_iters`` with a chi^2 gate re-evaluated each sweep.
+    """
+    K = poses.shape[0]
+    P = points.shape[0]
+    if fixed_mask is None:
+        fixed_mask = jnp.zeros(K, bool).at[0].set(True)
+
+    def sweep(_, state):
+        poses, points = state
+        T_o = poses[obs_kf]  # [O, 4, 4]
+        X_o = points[obs_pt]  # [O, 3]
+        R_o = T_o[:, :3, :3]
+        t_o = T_o[:, :3, 3]
+        xc = jnp.einsum("oij,oj->oi", R_o, X_o) + t_o
+        z = jnp.maximum(xc[:, 2], 1e-6)
+        u = cam.fx * xc[:, 0] / z + cam.cx
+        v = cam.fy * xc[:, 1] / z + cam.cy
+        r = jnp.stack([u - obs_uv[:, 0], v - obs_uv[:, 1]], -1)  # [O, 2]
+        chi2 = obs_inv_sigma2 * jnp.sum(r * r, -1)
+        # Huber-robust only — no hard gate during sweeps (g2o semantics:
+        # the robust kernel bounds outlier influence; hard classification
+        # happens only at the end).
+        w = obs_inv_sigma2 * _huber_weight(chi2, HUBER_MONO)
+        w = jnp.where(obs_valid, w, 0.0)
+
+        # d r / d X_world = J_proj(xc) @ R  [O, 2, 3]
+        iz = 1.0 / z
+        iz2 = iz * iz
+        Jp = jnp.stack(
+            [
+                jnp.stack([cam.fx * iz, jnp.zeros_like(z), -cam.fx * xc[:, 0] * iz2], -1),
+                jnp.stack([jnp.zeros_like(z), cam.fy * iz, -cam.fy * xc[:, 1] * iz2], -1),
+            ],
+            1,
+        )
+        Jx = jnp.einsum("ork,okj->orj", Jp, R_o)  # [O, 2, 3]
+
+        # --- point update: segment-sum 3x3 normal equations per point ---
+        JtWJ = jnp.einsum("ori,orj->oij", Jx * w[:, None, None], Jx)
+        JtWr = jnp.einsum("ori,or->oi", Jx * w[:, None, None], r)
+        Hp = jnp.zeros((P, 3, 3)).at[obs_pt].add(JtWJ) + damping * jnp.eye(3)
+        bp = jnp.zeros((P, 3)).at[obs_pt].add(JtWr)
+        dX = -jnp.linalg.solve(Hp, bp[..., None])[..., 0]
+        seen = jnp.zeros((P,)).at[obs_pt].add(w) > 0
+        points = points + jnp.where(seen[:, None], dX, 0.0)
+
+        # --- pose update with refreshed residuals ---
+        X_o = points[obs_pt]
+        xc = jnp.einsum("oij,oj->oi", R_o, X_o) + t_o
+        z = jnp.maximum(xc[:, 2], 1e-6)
+        u = cam.fx * xc[:, 0] / z + cam.cx
+        v = cam.fy * xc[:, 1] / z + cam.cy
+        r = jnp.stack([u - obs_uv[:, 0], v - obs_uv[:, 1]], -1)
+        chi2 = obs_inv_sigma2 * jnp.sum(r * r, -1)
+        w = obs_inv_sigma2 * _huber_weight(chi2, HUBER_MONO)
+        w = jnp.where(obs_valid, w, 0.0)
+        Jse = _pose_jacobian(xc, cam)  # [O, 2, 6]
+        HtJ = jnp.einsum("ori,orj->oij", Jse * w[:, None, None], Jse)
+        Htr = jnp.einsum("ori,or->oi", Jse * w[:, None, None], r)
+        Hk = jnp.zeros((K, 6, 6)).at[obs_kf].add(HtJ) + damping * jnp.eye(6)
+        bk = jnp.zeros((K, 6)).at[obs_kf].add(Htr)
+        dxi = -jnp.linalg.solve(Hk, bk[..., None])[..., 0]
+        dxi = jnp.where(fixed_mask[:, None], 0.0, dxi)
+        poses = jax.vmap(lambda xi, T: se3_exp(xi) @ T)(dxi, poses)
+        return poses, points
+
+    poses, points = jax.lax.fori_loop(0, outer_iters, sweep, (poses, points))
+
+    # Final observation gate (the reference removes chi2 > 5.991 edges).
+    T_o = poses[obs_kf]
+    xc = jnp.einsum("oij,oj->oi", T_o[:, :3, :3], points[obs_pt]) + T_o[:, :3, 3]
+    z = jnp.maximum(xc[:, 2], 1e-6)
+    u = cam.fx * xc[:, 0] / z + cam.cx
+    v = cam.fy * xc[:, 1] / z + cam.cy
+    r = jnp.stack([u - obs_uv[:, 0], v - obs_uv[:, 1]], -1)
+    chi2 = obs_inv_sigma2 * jnp.sum(r * r, -1)
+    return LocalBAResult(
+        poses=poses,
+        points=points,
+        inlier_obs=obs_valid & (chi2 <= CHI2_MONO) & (xc[:, 2] > 0),
+    )

@@ -1,0 +1,119 @@
+"""ORB descriptor matching as batched bit math.
+
+TPU-era ``ORBmatcher`` (``src/ORBmatcher.cc``): Hamming distances become
+XOR + ``lax.population_count`` over [N1, N2, 8] uint32 blocks, the ratio
+test / rotation-consistency histogram / projection windows become masked
+argmin reductions. Thresholds mirror the reference: TH_LOW=50, TH_HIGH=100,
+HISTO_LENGTH=30 (``src/ORBmatcher.cc:35-41``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gsorb_slam_tpu.core.camera import Camera
+from gsorb_slam_tpu.frontend.orb import ORBFeatures
+
+TH_LOW = 50
+TH_HIGH = 100
+HISTO_LENGTH = 30
+BIG = jnp.int32(1 << 30)
+
+
+def hamming_matrix(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
+    """[N1, 8] x [N2, 8] uint32 -> [N1, N2] int32 Hamming distances
+    (``DescriptorDistance`` ``src/ORBmatcher.cc:1647``, batched)."""
+    x = jnp.bitwise_xor(d1[:, None, :], d2[None, :, :])
+    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+
+
+class MatchResult(NamedTuple):
+    idx2: jnp.ndarray  # [N1] best match in set 2 (-1 = none)
+    dist: jnp.ndarray  # [N1] Hamming distance of best match
+    valid: jnp.ndarray  # [N1] bool
+
+
+def _rotation_consistency(
+    angle1: jnp.ndarray, angle2_at_match: jnp.ndarray, valid: jnp.ndarray
+) -> jnp.ndarray:
+    """Keep only matches whose angle difference falls in the 3 most common
+    of 30 histogram bins (``ComputeThreeMaxima`` usage across ORBmatcher)."""
+    rot = (angle1 - angle2_at_match) * (180.0 / jnp.pi)
+    rot = jnp.where(rot < 0, rot + 360.0, rot)
+    bins = jnp.clip((rot * HISTO_LENGTH / 360.0).astype(jnp.int32), 0, HISTO_LENGTH - 1)
+    hist = jnp.zeros(HISTO_LENGTH, jnp.int32).at[bins].add(valid.astype(jnp.int32))
+    top3 = jax.lax.top_k(hist, 3)[0]
+    # The reference drops bins under 10% of the max bin too (":1640").
+    keep_bin = (hist >= top3[2]) & (hist.astype(jnp.float32) > 0.1 * top3[0])
+    return valid & keep_bin[bins]
+
+
+def match_descriptors(
+    f1: ORBFeatures,
+    f2: ORBFeatures,
+    max_dist: int = TH_LOW,
+    ratio: float = 0.9,
+    check_rotation: bool = True,
+) -> MatchResult:
+    """Brute-force best-match with Lowe ratio + rotation consistency —
+    the ``SearchForInitialization``/``SearchByBoW`` matching core."""
+    D = hamming_matrix(f1.descriptors, f2.descriptors)
+    D = jnp.where(f2.valid[None, :], D, BIG)
+    D = jnp.where(f1.valid[:, None], D, BIG)
+    best2 = jnp.argmin(D, axis=1)
+    d_best = jnp.take_along_axis(D, best2[:, None], axis=1)[:, 0]
+    D2 = D.at[jnp.arange(D.shape[0]), best2].set(BIG)
+    d_second = jnp.min(D2, axis=1)
+    valid = (
+        f1.valid
+        & (d_best <= max_dist)
+        & (d_best.astype(jnp.float32) < ratio * d_second.astype(jnp.float32))
+    )
+    # Mutual-best check (the reference enforces uniqueness of target idx).
+    rev_best = jnp.argmin(jnp.where(valid[:, None], D, BIG), axis=0)
+    mutual = rev_best[best2] == jnp.arange(D.shape[0])
+    valid = valid & mutual
+    if check_rotation:
+        valid = _rotation_consistency(f1.angle, f2.angle[best2], valid)
+    return MatchResult(
+        idx2=jnp.where(valid, best2, -1), dist=d_best, valid=valid
+    )
+
+
+def search_by_projection(
+    world: jnp.ndarray,  # [M, 3] map-point positions
+    descriptors: jnp.ndarray,  # [M, 8] representative descriptors
+    pt_valid: jnp.ndarray,  # [M] bool
+    frame: ORBFeatures,
+    T_cw: jnp.ndarray,
+    cam: Camera,
+    radius: float = 15.0,
+    max_dist: int = TH_HIGH,
+) -> MatchResult:
+    """Project map points into the frame and match within a pixel window
+    (``SearchByProjection`` ``src/ORBmatcher.cc:45,1328``; the reference's
+    per-cell grid lookup becomes a masked distance matrix)."""
+    R = T_cw[:3, :3]
+    t = T_cw[:3, 3]
+    xc = jnp.matmul(world, R.T, precision=jax.lax.Precision.HIGHEST) + t
+    z = xc[:, 2]
+    in_front = z > 0.05
+    safe_z = jnp.where(in_front, z, 1.0)
+    u = cam.fx * xc[:, 0] / safe_z + cam.cx
+    v = cam.fy * xc[:, 1] / safe_z + cam.cy
+    on_img = (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+    ok = pt_valid & in_front & on_img
+
+    du = u[:, None] - frame.uv[None, :, 0]
+    dv = v[:, None] - frame.uv[None, :, 1]
+    within = (du * du + dv * dv) <= radius * radius  # [M, N]
+
+    D = hamming_matrix(descriptors, frame.descriptors)
+    D = jnp.where(within & frame.valid[None, :] & ok[:, None], D, BIG)
+    best = jnp.argmin(D, axis=1)
+    d_best = jnp.take_along_axis(D, best[:, None], axis=1)[:, 0]
+    valid = ok & (d_best <= max_dist)
+    return MatchResult(idx2=jnp.where(valid, best, -1), dist=d_best, valid=valid)

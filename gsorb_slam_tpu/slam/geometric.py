@@ -1,0 +1,303 @@
+"""Geometric SLAM front-end: map points, ORB tracking, local mapping.
+
+The host-orchestrated graph layer of the reference (``Tracking`` +
+``LocalMapping`` + ``MapPoint``/``Map``, SURVEY.md §2) rebuilt around the
+vectorized JAX kernels in ``frontend/``:
+
+- map points live in fixed-capacity numpy arrays (positions, descriptors,
+  visibility statistics) — the ``MapPoint`` soup becomes columnar state,
+- per-frame: ORB extraction -> projection matching against the local map ->
+  robust pose optimization (``frontend/ba.pose_optimization``) -> the
+  surviving matches feed the Gaussian tracker's chi^2 term
+  (``slam/tracking.FeatureMatches``), reproducing TrackWithMotionModel ->
+  TrackLocalMapWithGaussian (``src/Tracking.cc:293-487``),
+- keyframes: new map points backprojected from RGB-D depth
+  (``CreateNewKeyFrame`` ``src/Tracking.cc:1446-1510``), covisibility from
+  shared observations, periodic local BA over the covisible neighborhood
+  (``LocalMapping::Run`` -> ``Optimizer::LocalBundleAdjustment``), point
+  culling by found/visible ratio (``MapPointCulling``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsorb_slam_tpu.core.camera import Camera
+from gsorb_slam_tpu.core.config import ORBConfig
+from gsorb_slam_tpu.frontend import ba
+from gsorb_slam_tpu.frontend.matcher import search_by_projection
+from gsorb_slam_tpu.frontend.orb import ORBFeatures, extract_orb, level_sigma2
+from gsorb_slam_tpu.slam.tracking import FeatureMatches
+
+
+@dataclasses.dataclass
+class KeyFrameFeatures:
+    kf_id: int
+    frame_id: int
+    feats: ORBFeatures
+    point_ids: np.ndarray  # [N] int32 map-point id per keypoint (-1 none)
+    T_cw: np.ndarray
+
+
+@dataclasses.dataclass
+class FrontendResult:
+    T_orb: Optional[np.ndarray]  # pose after ORB optimization (None if failed)
+    matches: FeatureMatches  # padded matches for the GS tracker chi^2 term
+    n_inliers: int
+    n_tracked_close: int
+    n_nontracked_close: int
+    feats: ORBFeatures
+
+
+class GeometricFrontend:
+    def __init__(
+        self,
+        cam: Camera,
+        orb_cfg: ORBConfig = ORBConfig(),
+        max_points: int = 200_000,
+        th_depth: float = 3.5,  # meters close-point threshold (bf/fx * ThDepth)
+        match_capacity: int = 512,
+        local_ba_every: int = 3,
+        seed: int = 0,
+    ):
+        self.cam = cam
+        self.orb_cfg = orb_cfg
+        self.th_depth = th_depth
+        self.match_capacity = match_capacity
+        self.local_ba_every = local_ba_every
+        self.sigma2 = level_sigma2(orb_cfg)
+
+        P = max_points
+        self.pt_pos = np.zeros((P, 3), np.float32)
+        self.pt_desc = np.zeros((P, 8), np.uint32)
+        self.pt_valid = np.zeros(P, bool)
+        self.pt_visible = np.zeros(P, np.int32)
+        self.pt_found = np.zeros(P, np.int32)
+        self.pt_first_kf = np.zeros(P, np.int32)
+        self.n_points = 0
+
+        self.keyframes: list[KeyFrameFeatures] = []
+        self.kf_counter = 0
+        self._extract = jax.jit(lambda g: extract_orb(g, orb_cfg))
+        self.rng = np.random.default_rng(seed)
+
+    # ------------------------------------------------------------- tracking
+
+    def local_map_points(self, max_pts: int = 4000) -> np.ndarray:
+        """Indices of candidate local map points (recent + most observed)."""
+        ids = np.nonzero(self.pt_valid)[0]
+        if len(ids) > max_pts:
+            ids = ids[-max_pts:]
+        return ids
+
+    def process_frame(self, gray: np.ndarray, T_pred: np.ndarray) -> FrontendResult:
+        feats = self._extract(jnp.asarray(gray))
+        ids = self.local_map_points()
+        empty = FeatureMatches.empty(self.match_capacity)
+        if len(ids) < 20:
+            return FrontendResult(None, empty, 0, 0, 0, feats)
+
+        m = search_by_projection(
+            jnp.asarray(self.pt_pos[ids]),
+            jnp.asarray(self.pt_desc[ids]),
+            jnp.asarray(self.pt_valid[ids]),
+            feats,
+            jnp.asarray(T_pred),
+            self.cam,
+            radius=12.0,
+        )
+        mv = np.asarray(m.valid)
+        self.pt_visible[ids[mv]] += 1
+        kp_idx = np.asarray(m.idx2)
+        n = int(mv.sum())
+        if n < 10:
+            return FrontendResult(None, empty, 0, 0, 0, feats)
+
+        world = self.pt_pos[ids[mv]]
+        uv = np.asarray(feats.uv)[kp_idx[mv]]
+        octv = np.asarray(feats.octave)[kp_idx[mv]]
+        inv_s2 = (1.0 / self.sigma2[octv]).astype(np.float32)
+
+        res = ba.pose_optimization(
+            jnp.asarray(T_pred),
+            jnp.asarray(world),
+            jnp.asarray(uv),
+            jnp.asarray(inv_s2),
+            jnp.ones(n, bool),
+            self.cam,
+        )
+        inl = np.asarray(res.inliers)
+        self.pt_found[ids[mv][inl]] += 1
+        n_inl = int(inl.sum())
+        T_orb = np.asarray(res.T_cw) if n_inl >= 10 else None
+
+        # Padded matches for the GS tracker feature term (inliers only).
+        cap = self.match_capacity
+        sel = np.nonzero(inl)[0][:cap]
+        obs = np.zeros((cap, 2), np.float32)
+        wld = np.zeros((cap, 3), np.float32)
+        isg = np.ones(cap, np.float32)
+        val = np.zeros(cap, bool)
+        obs[: len(sel)] = uv[sel]
+        wld[: len(sel)] = world[sel]
+        isg[: len(sel)] = inv_s2[sel]
+        val[: len(sel)] = True
+        matches = FeatureMatches(
+            obs_uv=jnp.asarray(obs),
+            world=jnp.asarray(wld),
+            inv_sigma2=jnp.asarray(isg),
+            valid=jnp.asarray(val),
+        )
+
+        # Close-point bookkeeping for the keyframe decision (c1c/c2 gates).
+        # (depth stats are provided by the caller; approximate with inliers)
+        return FrontendResult(T_orb, matches, n_inl, n_inl, 0, feats)
+
+    # ------------------------------------------------------------ keyframes
+
+    def create_keyframe(
+        self,
+        feats: ORBFeatures,
+        depth: np.ndarray,
+        T_cw: np.ndarray,
+        frame_id: int,
+        max_new_points: int = 400,
+    ) -> KeyFrameFeatures:
+        """Backproject depth at (unmatched) keypoints into new map points —
+        the RGB-D close-point creation of ``CreateNewKeyFrame``
+        (``src/Tracking.cc:1446-1510``: closest-first, capped)."""
+        v = np.asarray(feats.valid)
+        uv = np.asarray(feats.uv)
+        desc = np.asarray(feats.descriptors)
+        N = len(uv)
+        point_ids = np.full(N, -1, np.int32)
+
+        ui = np.clip(uv[:, 0].astype(int), 0, depth.shape[1] - 1)
+        vi = np.clip(uv[:, 1].astype(int), 0, depth.shape[0] - 1)
+        z = depth[vi, ui]
+        ok = v & (z > 0)
+        order = np.argsort(np.where(ok, z, np.inf))
+        created = 0
+        T_wc = np.linalg.inv(T_cw)
+        for i in order:
+            if not ok[i]:
+                break
+            if created >= max_new_points and z[i] > self.th_depth:
+                break
+            if self.n_points >= len(self.pt_pos):
+                break
+            xc = np.array(
+                [
+                    (uv[i, 0] - self.cam.cx) * z[i] / self.cam.fx,
+                    (uv[i, 1] - self.cam.cy) * z[i] / self.cam.fy,
+                    z[i],
+                    1.0,
+                ],
+                np.float32,
+            )
+            xw = (T_wc @ xc)[:3]
+            p = self.n_points
+            self.pt_pos[p] = xw
+            self.pt_desc[p] = desc[i]
+            self.pt_valid[p] = True
+            self.pt_first_kf[p] = self.kf_counter
+            self.pt_visible[p] = 1
+            self.pt_found[p] = 1
+            point_ids[i] = p
+            self.n_points += 1
+            created += 1
+
+        kf = KeyFrameFeatures(
+            kf_id=self.kf_counter,
+            frame_id=frame_id,
+            feats=feats,
+            point_ids=point_ids,
+            T_cw=np.asarray(T_cw, np.float32),
+        )
+        self.keyframes.append(kf)
+        self.kf_counter += 1
+
+        self.last_adjusted: list[int] = []
+        if self.kf_counter % self.local_ba_every == 0 and len(self.keyframes) >= 3:
+            self.last_adjusted = self.local_ba()
+        if self.kf_counter % 5 == 0:
+            self.cull_points()
+        return kf
+
+    # -------------------------------------------------------- local mapping
+
+    def cull_points(self, min_ratio: float = 0.25) -> int:
+        """Found/visible-ratio culling (``LocalMapping::MapPointCulling``
+        ``src/LocalMapping.cc:176``)."""
+        vis = np.maximum(self.pt_visible, 1)
+        bad = self.pt_valid & (self.pt_visible >= 4) & (
+            self.pt_found / vis < min_ratio
+        )
+        self.pt_valid[bad] = False
+        return int(bad.sum())
+
+    def covisibility(self, kf: KeyFrameFeatures, min_shared: int = 15):
+        """KFs sharing >= min_shared map points (``KeyFrame::UpdateConnections``)."""
+        mine = set(kf.point_ids[kf.point_ids >= 0].tolist())
+        out = []
+        for other in self.keyframes:
+            if other.kf_id == kf.kf_id:
+                continue
+            shared = len(mine & set(other.point_ids[other.point_ids >= 0].tolist()))
+            if shared >= min_shared:
+                out.append((other.kf_id, shared))
+        out.sort(key=lambda x: -x[1])
+        return out
+
+    def local_ba(self, n_kfs: int = 6, outer_iters: int = 8) -> list[int]:
+        """Local BA over the most recent keyframes + their points. Returns
+        the adjusted keyframe ids (callers bump ``mRenderedNum`` analogs,
+        cf. ``src/Optimizer.cc:768``)."""
+        kfs = self.keyframes[-n_kfs:]
+        kf_index = {kf.kf_id: i for i, kf in enumerate(kfs)}
+        obs_kf, obs_pt, obs_uv, obs_is2 = [], [], [], []
+        pts_used: dict[int, int] = {}
+        for kf in kfs:
+            uv = np.asarray(kf.feats.uv)
+            octv = np.asarray(kf.feats.octave)
+            for i, p in enumerate(kf.point_ids):
+                if p < 0 or not self.pt_valid[p]:
+                    continue
+                if p not in pts_used:
+                    pts_used[p] = len(pts_used)
+                obs_kf.append(kf_index[kf.kf_id])
+                obs_pt.append(pts_used[p])
+                obs_uv.append(uv[i])
+                obs_is2.append(1.0 / self.sigma2[octv[i]])
+        if len(pts_used) < 10 or len(obs_kf) < 30:
+            return []
+        pt_ids = np.array(sorted(pts_used, key=pts_used.get), np.int64)
+        poses = np.stack([kf.T_cw for kf in kfs])
+        fixed = np.zeros(len(kfs), bool)
+        fixed[0] = True
+
+        res = ba.local_bundle_adjustment(
+            jnp.asarray(poses),
+            jnp.asarray(self.pt_pos[pt_ids]),
+            jnp.asarray(np.array(obs_kf, np.int32)),
+            jnp.asarray(np.array(obs_pt, np.int32)),
+            jnp.asarray(np.array(obs_uv, np.float32)),
+            jnp.asarray(np.array(obs_is2, np.float32)),
+            jnp.ones(len(obs_kf), bool),
+            self.cam,
+            fixed_mask=jnp.asarray(fixed),
+            outer_iters=outer_iters,
+        )
+        new_poses = np.asarray(res.poses)
+        self.pt_pos[pt_ids] = np.asarray(res.points)
+        adjusted = []
+        for i, kf in enumerate(kfs):
+            if not fixed[i]:
+                kf.T_cw = new_poses[i]
+                adjusted.append(kf.kf_id)
+        return adjusted

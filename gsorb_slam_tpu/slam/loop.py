@@ -1,0 +1,206 @@
+"""Loop detection and closure.
+
+Rebuilds the reference's ``KeyFrameDatabase`` (inverted BoW index +
+covisibility-consistent candidate grouping, ``src/KeyFrameDatabase.cc:76``)
+and ``LoopClosing`` (``src/LoopClosing.cc``): candidate detection ->
+geometric verification with the batched RANSAC Sim3/SE3 solver
+(``frontend/sim3.py``) -> pose-graph correction
+(``frontend/ba.pose_graph_optimization``, the fixed-scale analog of
+``OptimizeEssentialGraph``).
+
+As in the reference, the Gaussian map is NOT warped on loop closure — it
+re-couples through subsequently re-rendered keyframe poses
+(``src/LoopClosing.cc`` note in SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from gsorb_slam_tpu.frontend import sim3 as S3
+from gsorb_slam_tpu.frontend.ba import pose_graph_optimization
+from gsorb_slam_tpu.frontend.matcher import match_descriptors
+from gsorb_slam_tpu.frontend.vocab import Vocabulary, score_l1
+
+
+class KeyFrameDatabase:
+    """Inverted word -> keyframe index (``KeyFrameDatabase``)."""
+
+    def __init__(self, vocab: Vocabulary):
+        self.vocab = vocab
+        self.inverted: dict[int, set[int]] = {}
+        self.bows: dict[int, dict[int, float]] = {}
+
+    def add(self, kf_id: int, descriptors, valid) -> None:
+        bow = self.vocab.bow_vector(descriptors, valid)
+        self.bows[kf_id] = bow
+        for w in bow:
+            self.inverted.setdefault(w, set()).add(kf_id)
+
+    def query(
+        self, kf_id: int, exclude: set[int], min_score: float
+    ) -> list[tuple[int, float]]:
+        """Candidates sharing words, scored >= min_score
+        (``DetectLoopCandidates`` core; the reference additionally groups by
+        covisibility consistency over 3 consecutive detections — callers
+        track that)."""
+        bow = self.bows.get(kf_id)
+        if not bow:
+            return []
+        sharing: dict[int, int] = {}
+        for w in bow:
+            for other in self.inverted.get(w, ()):
+                if other != kf_id and other not in exclude:
+                    sharing[other] = sharing.get(other, 0) + 1
+        if not sharing:
+            return []
+        max_common = max(sharing.values())
+        out = []
+        for other, common in sharing.items():
+            if common < 0.8 * max_common:
+                continue
+            s = score_l1(bow, self.bows[other])
+            if s >= min_score:
+                out.append((other, s))
+        out.sort(key=lambda x: -x[1])
+        return out
+
+
+@dataclasses.dataclass
+class LoopClosure:
+    query_kf: int
+    match_kf: int
+    T_correction: np.ndarray  # corrective transform for the query pose
+
+
+class LoopCloser:
+    """Detection with temporal consistency + SE3 verification + pose-graph
+    correction. ``min_consistency`` mirrors mnCovisibilityConsistencyTh=3."""
+
+    def __init__(
+        self,
+        vocab: Vocabulary,
+        min_score: float = 0.015,
+        min_inliers: int = 20,
+        min_consistency: int = 3,
+        min_gap: int = 10,
+    ):
+        self.db = KeyFrameDatabase(vocab)
+        self.min_score = min_score
+        self.min_inliers = min_inliers
+        self.min_consistency = min_consistency
+        self.min_gap = min_gap
+        self.consistency: dict[int, int] = {}
+        self.key = jnp.asarray(np.array([0, 42], np.uint32))
+
+    def add_keyframe(self, kf) -> None:
+        self.db.add(kf.kf_id, kf.feats.descriptors, kf.feats.valid)
+
+    def detect(self, kf, recent_ids: set[int]) -> Optional[int]:
+        cands = self.db.query(kf.kf_id, recent_ids, self.min_score)
+        new_consistency: dict[int, int] = {}
+        detected = None
+        for cid, _score in cands:
+            streak = 1 + max(
+                (v for k, v in self.consistency.items() if abs(k - cid) <= 2),
+                default=0,
+            )
+            new_consistency[cid] = streak
+            if streak >= self.min_consistency and detected is None:
+                detected = cid
+        self.consistency = new_consistency
+        return detected
+
+    def verify(self, kf_query, kf_match, frontend) -> Optional[np.ndarray]:
+        """Geometric check: match descriptors, align the matched map points
+        with fixed-scale RANSAC Horn (``Sim3Solver``); returns the corrected
+        T_cw for the query keyframe or None."""
+        m = match_descriptors(kf_query.feats, kf_match.feats, max_dist=64)
+        mv = np.asarray(m.valid)
+        idx2 = np.asarray(m.idx2)
+        p1_ids = kf_query.point_ids
+        p2_ids = kf_match.point_ids
+        pairs = []
+        for i in np.nonzero(mv)[0]:
+            p1 = p1_ids[i]
+            p2 = p2_ids[idx2[i]]
+            if p1 >= 0 and p2 >= 0 and frontend.pt_valid[p1] and frontend.pt_valid[p2]:
+                pairs.append((p1, p2))
+        if len(pairs) < self.min_inliers:
+            return None
+        pairs = np.array(pairs)
+        x1 = frontend.pt_pos[pairs[:, 0]]
+        x2 = frontend.pt_pos[pairs[:, 1]]
+        res = S3.ransac_sim3(
+            jnp.asarray(x1), jnp.asarray(x2), jnp.ones(len(pairs), bool),
+            jnp.asarray(self.key), fix_scale=True,
+        )
+        if int(res.n_inliers) < self.min_inliers:
+            return None
+        # World-frame drift correction: x2 = R x1 + t maps query-side point
+        # coordinates onto match-side (older, drift-free) coordinates.
+        T_corr = np.eye(4, dtype=np.float32)
+        T_corr[:3, :3] = np.asarray(res.R)
+        T_corr[:3, 3] = np.asarray(res.t)
+        return T_corr
+
+    def correct(
+        self,
+        keyframes: list,
+        query_kf_id: int,
+        match_kf_id: int,
+        T_corr: np.ndarray,
+        covis_edges: list[tuple[int, int, float]],
+    ) -> dict[int, np.ndarray]:
+        """Pose-graph correction: spanning/covisibility edges keep relative
+        poses, the loop edge pins query ~ match through T_corr. Returns
+        {kf_id: corrected T_cw}."""
+        id_index = {kf.kf_id: i for i, kf in enumerate(keyframes)}
+        K = len(keyframes)
+        poses = np.stack([kf.T_cw for kf in keyframes]).astype(np.float32)
+
+        edges_i, edges_j, rels, ws = [], [], [], []
+        # Sequential odometry edges.
+        for a in range(K - 1):
+            edges_i.append(a)
+            edges_j.append(a + 1)
+            rels.append(poses[a] @ np.linalg.inv(poses[a + 1]))
+            ws.append(1.0)
+        # Covisibility edges.
+        for i_id, j_id, w in covis_edges:
+            if i_id in id_index and j_id in id_index:
+                a, b = id_index[i_id], id_index[j_id]
+                edges_i.append(a)
+                edges_j.append(b)
+                rels.append(poses[a] @ np.linalg.inv(poses[b]))
+                ws.append(min(w / 100.0, 1.0))
+        # Loop edge: corrected query pose = T_cw_query @ T_corr^{-1}
+        # (points move x -> T_corr x, so camera-from-world absorbs inverse).
+        qa = id_index[query_kf_id]
+        mb = id_index[match_kf_id]
+        T_query_corrected = poses[qa] @ np.linalg.inv(T_corr)
+        rel_loop = T_query_corrected @ np.linalg.inv(poses[mb])
+        edges_i.append(qa)
+        edges_j.append(mb)
+        rels.append(rel_loop)
+        ws.append(5.0)
+
+        fixed = np.zeros(K, bool)
+        fixed[mb] = True
+        fixed[0] = True
+
+        new_poses = pose_graph_optimization(
+            jnp.asarray(poses),
+            jnp.asarray(np.array(edges_i, np.int32)),
+            jnp.asarray(np.array(edges_j, np.int32)),
+            jnp.asarray(np.stack(rels).astype(np.float32)),
+            jnp.asarray(np.array(ws, np.float32)),
+            jnp.asarray(fixed),
+            iters=50,
+        )
+        new_poses = np.asarray(new_poses)
+        return {kf.kf_id: new_poses[i] for i, kf in enumerate(keyframes)}

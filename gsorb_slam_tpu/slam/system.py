@@ -79,12 +79,30 @@ class System:
         bins_ttl: int = 10,
         bins_refresh_per_frame: int = 3,
         seed: int = 0,
+        frontend: str = "render",  # "render" | "orb"
+        vocabulary=None,  # frontend.vocab.Vocabulary for loop closing
     ):
         self.cfg = config if isinstance(config, SystemConfig) else load_config(config)
         cc = self.cfg.camera
         self.cam = Camera(
             fx=cc.fx, fy=cc.fy, cx=cc.cx, cy=cc.cy, width=cc.width, height=cc.height
         )
+        self.frontend_mode = frontend
+        self.fe = None
+        self.loop_closer = None
+        if frontend == "orb":
+            from gsorb_slam_tpu.slam.geometric import GeometricFrontend
+
+            self.fe = GeometricFrontend(
+                self.cam,
+                self.cfg.orb,
+                th_depth=cc.bf / cc.fx * cc.th_depth,
+                seed=seed,
+            )
+            if vocabulary is not None and self.cfg.debug.use_loop:
+                from gsorb_slam_tpu.slam.loop import LoopCloser
+
+                self.loop_closer = LoopCloser(vocabulary)
         self.rcfg = raster or RasterConfig(
             tile=16, tile_capacity=1024, max_dup=16, chunk=128, dilate_px=8.0
         )
@@ -116,6 +134,7 @@ class System:
         self.max_frames_between_kf = int(self.cfg.camera.fps)
 
         self.timings = {"track": 0.0, "map": 0.0, "n_track": 0, "n_map": 0}
+        self.loop_events: list[tuple[int, int, int]] = []
         self._build_jits()
 
     # ------------------------------------------------------------------ jits
@@ -229,6 +248,53 @@ class System:
         for kf in self.keyframes:
             kf.bins_built_at = -(10**9)
 
+    # --------------------------------------------------------- orb frontend
+
+    def _sync_frontend_poses(self) -> None:
+        """Propagate BA-refined keyframe poses from the geometric front-end
+        into the rendering-side keyframe metas (the shared-Map coupling:
+        Render's window selection reads BA'd poses, src/Render.cc:353-367)."""
+        if self.fe is None:
+            return
+        adjusted = set(getattr(self.fe, "last_adjusted", []) or [])
+        for fe_kf in self.fe.keyframes:
+            if fe_kf.kf_id < len(self.keyframes):
+                meta = self.keyframes[fe_kf.kf_id]
+                meta.T_cw = fe_kf.T_cw
+                if fe_kf.kf_id in adjusted:
+                    meta.rendered_num += 1
+
+    def _maybe_close_loop(self, fe_kf) -> None:
+        """LoopClosing::Run equivalent, invoked per keyframe (src/LoopClosing.cc)."""
+        lc = self.loop_closer
+        if lc is None or self.fe is None:
+            return
+        lc.add_keyframe(fe_kf)
+        recent = {
+            kf.kf_id
+            for kf in self.fe.keyframes
+            if fe_kf.kf_id - kf.kf_id < lc.min_gap
+        }
+        cand = lc.detect(fe_kf, recent)
+        if cand is None:
+            return
+        match_kf = self.fe.keyframes[cand]
+        T_corr = lc.verify(fe_kf, match_kf, self.fe)
+        if T_corr is None:
+            return
+        covis = [
+            (fe_kf.kf_id, other_id, float(w))
+            for other_id, w in self.fe.covisibility(fe_kf)[:10]
+        ]
+        corrected = lc.correct(
+            self.fe.keyframes, fe_kf.kf_id, cand, T_corr, covis
+        )
+        for kf in self.fe.keyframes:
+            kf.T_cw = corrected[kf.kf_id]
+        self._sync_frontend_poses()
+        self._invalidate_all_bins()
+        self.loop_events.append((self.frame_id, fe_kf.kf_id, cand))
+
     # ----------------------------------------------------------------- track
 
     def track_rgbd(
@@ -244,15 +310,32 @@ class System:
         ``Tracking::GrabImageRGBD`` -> ``TrackWithGaussian``
         (``src/System.cc:229``, ``src/Tracking.cc:250-451``).
         """
-        color = jnp.asarray(np.asarray(rgb, np.float32))
-        d = jnp.asarray(np.asarray(depth, np.float32))
-        matches = matches if matches is not None else T.FeatureMatches.empty()
+        rgb_np = np.asarray(rgb, np.float32)
+        depth_np = np.asarray(depth, np.float32)
+        color = jnp.asarray(rgb_np)
+        d = jnp.asarray(depth_np)
+        match_cap = self.fe.match_capacity if self.fe is not None else 8
+        matches = matches if matches is not None else T.FeatureMatches.empty(match_cap)
+
+        fe_res = None
+        if self.fe is not None:
+            gray = (
+                0.299 * rgb_np[..., 0] + 0.587 * rgb_np[..., 1] + 0.114 * rgb_np[..., 2]
+            ).astype(np.float32)
+            if self.frame_id == 0:
+                feats0 = self.fe._extract(jnp.asarray(gray))
+                self.fe.create_keyframe(
+                    feats0, depth_np, np.eye(4, dtype=np.float32), frame_id=0
+                )
+            else:
+                T_pred = (self.velocity @ self.last_T_cw).astype(np.float32)
+                fe_res = self.fe.process_frame(gray, T_pred)
 
         if self.frame_id == 0:
             T_cw = np.eye(4, dtype=np.float32)
             self._initialize(color, d, T_cw)
         else:
-            T_cw = self._track_and_map(color, d, matches)
+            T_cw = self._track_and_map(color, d, matches, fe_res, depth_np)
 
         self.last_T_cw = T_cw
         rec = self.trajectory[-1]
@@ -289,23 +372,36 @@ class System:
             FrameRecord(self.frame_id, 0.0, T_cw, True, 0.0, 0)
         )
 
-    def _track_and_map(self, color, depth, matches) -> np.ndarray:
+    def _track_and_map(self, color, depth, matches, fe_res=None, depth_np=None) -> np.ndarray:
         cfg = self.cfg
-        # Motion model (Tracking::TrackWithMotionModel seed).
+        # Motion model (Tracking::TrackWithMotionModel seed), replaced by the
+        # ORB-optimized pose when the geometric front-end succeeded
+        # (TrackWithMotionModel -> TrackLocalMapWithGaussian chain,
+        # src/Tracking.cc:330-353).
         T_init = (self.velocity @ self.last_T_cw).astype(np.float32)
+        n_track_iters = cfg.tracking.num_iters
+        if fe_res is not None:
+            if fe_res.T_orb is not None:
+                T_init = fe_res.T_orb.astype(np.float32)
+                matches = fe_res.matches
+            else:
+                # ORB lost: GS tracker takes over with the lost-mode budget
+                # (src/Tracking.cc:339-350).
+                n_track_iters = cfg.tracking.lost_num_iters
 
         t0 = time.perf_counter()
         bins = self._bin_jit(self.gm, jnp.asarray(T_init))
         res = self._track_jit(
             self.gm, jnp.asarray(T_init), color, depth, matches, bins,
-            n_iters=cfg.tracking.num_iters,
+            n_iters=n_track_iters,
         )
         T_cw = np.asarray(res.T_cw)
         self.timings["track"] += time.perf_counter() - t0
         self.timings["n_track"] += 1
         self.velocity = (T_cw @ np.linalg.inv(self.last_T_cw)).astype(np.float32)
 
-        # Keyframe decision (novel-view overlap; ORB gates join later).
+        # Keyframe decision: novel-view overlap OR max-gap OR weak ORB
+        # tracking (the c1c/c2 inlier gates, simplified).
         ref_kf = self.keyframes[-1] if self.keyframes else None
         is_kf = False
         if ref_kf is not None:
@@ -313,11 +409,18 @@ class System:
                 ref_kf, T_cw, self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
                 self.cam.width, self.cam.height, cfg.tracking.overlap_threshold,
             )
-            is_kf = novel or (
+            weak_orb = fe_res is not None and 0 < fe_res.n_inliers < 40
+            is_kf = novel or weak_orb or (
                 self.frame_id - self.last_kf_frame_id >= self.max_frames_between_kf
             )
         if is_kf:
             self._create_keyframe(color, depth, T_cw)
+            if self.fe is not None and fe_res is not None:
+                fe_kf = self.fe.create_keyframe(
+                    fe_res.feats, depth_np, T_cw, self.frame_id
+                )
+                self._sync_frontend_poses()
+                self._maybe_close_loop(fe_kf)
 
         t0 = time.perf_counter()
         # Periodic prune (mask-only: cached bins stay valid).

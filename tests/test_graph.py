@@ -1,0 +1,160 @@
+"""Vocabulary, Sim3, pose graph, keyframe database, geometric frontend."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsorb_slam_tpu.core.camera import Camera
+from gsorb_slam_tpu.core.config import ORBConfig
+from gsorb_slam_tpu.core.transforms import se3_exp
+from gsorb_slam_tpu.frontend import sim3 as S3
+from gsorb_slam_tpu.frontend.ba import pose_graph_optimization
+from gsorb_slam_tpu.frontend.vocab import build_vocabulary, score_l1
+from gsorb_slam_tpu.slam.geometric import GeometricFrontend
+from gsorb_slam_tpu.slam.loop import KeyFrameDatabase
+
+
+def rand_desc(rng, n):
+    return rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+
+
+def test_vocabulary_roundtrip(rng):
+    train = rand_desc(rng, 800)
+    voc = build_vocabulary(train, k=4, L=3, seed=1)
+    assert voc.n_words > 20
+    d = jnp.asarray(train[:100])
+    wid, w = voc.transform(d, jnp.ones(100, bool))
+    wid = np.asarray(wid)
+    assert (wid >= 0).all() and (wid < voc.n_words).all()
+    # Same descriptors map to same words deterministically.
+    wid2, _ = voc.transform(d, jnp.ones(100, bool))
+    np.testing.assert_array_equal(wid, np.asarray(wid2))
+
+
+def test_bow_scoring_discriminates(rng):
+    train = rand_desc(rng, 1000)
+    voc = build_vocabulary(train, k=4, L=3, seed=1)
+    a = jnp.asarray(train[:80])
+    # b = a with a few bits flipped (similar frame); c = fresh random
+    b_np = train[:80].copy()
+    b_np[:, 0] ^= 3
+    b = jnp.asarray(b_np)
+    c = jnp.asarray(rand_desc(rng, 80))
+    ones = jnp.ones(80, bool)
+    va = voc.bow_vector(a, ones)
+    vb = voc.bow_vector(b, ones)
+    vc = voc.bow_vector(c, ones)
+    assert score_l1(va, vb) > score_l1(va, vc)
+    assert score_l1(va, va) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_keyframe_database_query(rng):
+    train = rand_desc(rng, 1000)
+    voc = build_vocabulary(train, k=4, L=3, seed=1)
+    db = KeyFrameDatabase(voc)
+    ones = jnp.ones(60, bool)
+    for i in range(5):
+        db.add(i, jnp.asarray(rand_desc(rng, 60)), ones)
+    # kf 5 revisits kf 1's descriptors (a loop)
+    loop_desc = np.array(np.asarray(db.bows and train[:60]))  # reuse train block
+    db.add(1, jnp.asarray(train[:60]), ones)  # overwrite kf1 with known set
+    db.add(5, jnp.asarray(train[:60]), ones)
+    cands = db.query(5, exclude={4, 5}, min_score=0.05)
+    assert cands and cands[0][0] == 1
+
+
+def test_ransac_sim3_recovers_transform(rng):
+    n = 200
+    p1 = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    T = np.asarray(se3_exp(jnp.array([0.3, -0.2, 0.5, 0.1, 0.2, -0.15])))
+    p2 = p1 @ T[:3, :3].T + T[:3, 3]
+    # 20% outliers
+    p2[:40] += rng.uniform(1, 3, (40, 3))
+    res = S3.ransac_sim3(
+        jnp.asarray(p1), jnp.asarray(p2), jnp.ones(n, bool),
+        jax.random.PRNGKey(0), fix_scale=True,
+    )
+    assert int(res.n_inliers) > 140
+    np.testing.assert_allclose(np.asarray(res.R), T[:3, :3], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(res.t), T[:3, 3], atol=1e-2)
+
+
+def test_pose_graph_closes_loop(rng):
+    """A drifted odometry chain with one loop edge must snap back."""
+    K = 20
+    poses_gt = []
+    T = np.eye(4, dtype=np.float32)
+    for k in range(K):
+        poses_gt.append(T.copy())
+        step = np.asarray(se3_exp(jnp.asarray([0.1, 0, 0, 0, 0.05, 0], dtype=jnp.float32)))
+        T = step @ T
+    poses_gt = np.stack(poses_gt)
+
+    # Simulate drift: each odometry step slightly biased.
+    poses_drift = [poses_gt[0]]
+    for k in range(1, K):
+        rel_gt = poses_gt[k] @ np.linalg.inv(poses_gt[k - 1])
+        noise = np.asarray(
+            se3_exp(jnp.asarray([0.01, 0.004, 0, 0, 0.006, 0], dtype=jnp.float32))
+        )
+        poses_drift.append(noise @ rel_gt @ poses_drift[-1])
+    poses_drift = np.stack(poses_drift).astype(np.float32)
+
+    edges_i = np.arange(K - 1, dtype=np.int32)
+    edges_j = edges_i + 1
+    rels = np.stack(
+        [poses_drift[a] @ np.linalg.inv(poses_drift[a + 1]) for a in range(K - 1)]
+    )
+    # loop edge: node K-1 <-> node 0 with the TRUE relative pose.
+    edges_i = np.concatenate([edges_i, [K - 1]])
+    edges_j = np.concatenate([edges_j, [0]])
+    rels = np.concatenate(
+        [rels, (poses_gt[K - 1] @ np.linalg.inv(poses_gt[0]))[None]]
+    ).astype(np.float32)
+    w = np.concatenate([np.ones(K - 1), [5.0]]).astype(np.float32)
+    fixed = np.zeros(K, bool)
+    fixed[0] = True
+
+    out = np.asarray(
+        pose_graph_optimization(
+            jnp.asarray(poses_drift), jnp.asarray(edges_i), jnp.asarray(edges_j),
+            jnp.asarray(rels), jnp.asarray(w), jnp.asarray(fixed), iters=100,
+        )
+    )
+    err_before = np.linalg.norm(poses_drift[-1][:3, 3] - poses_gt[-1][:3, 3])
+    err_after = np.linalg.norm(out[-1][:3, 3] - poses_gt[-1][:3, 3])
+    assert err_after < 0.5 * err_before, (err_before, err_after)
+
+
+def _textured(rng, h=120, w=160, n=60):
+    img = np.zeros((h, w), np.float32)
+    for _ in range(n):
+        y, x = rng.integers(22, h - 30), rng.integers(22, w - 30)
+        img[y : y + rng.integers(5, 12), x : x + rng.integers(5, 12)] = rng.uniform(
+            0.4, 1.0
+        )
+    return img
+
+
+def test_geometric_frontend_tracks(rng):
+    """Create a KF with depth, then track a nearby frame: ORB pose
+    optimization should land near identity (static scene, small motion)."""
+    cam = Camera(fx=120.0, fy=120.0, cx=80.0, cy=60.0, width=160, height=120)
+    fe = GeometricFrontend(cam, ORBConfig(n_features=300, n_levels=3), max_points=5000)
+    img = _textured(rng)
+    depth = np.full(img.shape, 2.0, np.float32)
+
+    feats = fe._extract(jnp.asarray(img))
+    fe.create_keyframe(feats, depth, np.eye(4, dtype=np.float32), frame_id=0)
+    assert fe.n_points > 50
+
+    res = fe.process_frame(img, np.eye(4, dtype=np.float32))
+    assert res.T_orb is not None
+    assert res.n_inliers > 30
+    assert np.linalg.norm(res.T_orb[:3, 3]) < 0.02
+    assert int(jnp.sum(res.matches.valid)) == res.n_inliers or int(
+        jnp.sum(res.matches.valid)
+    ) == min(res.n_inliers, fe.match_capacity)
