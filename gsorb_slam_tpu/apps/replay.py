@@ -1,0 +1,99 @@
+"""Offline replay: reconstruct rendering from a saved PLY + trajectory.
+
+Equivalent of ``scripts/replay.py`` (``:250-374``): loads GaussianModel.ply
+and an estimated trajectory, re-renders every frame with the TPU renderer,
+and reports PSNR / SSIM / MS-SSIM / depth-L1 (+ gated LPIPS) against the
+dataset — an independent regression check of the pipeline's artifacts.
+
+Usage:
+    python -m gsorb_slam_tpu.apps.replay --ply out/GaussianModel.ply \
+        --traj out/CameraTrajectory_TUM.txt --config cfg.yaml \
+        --dataset /path --type tum
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ply", required=True)
+    ap.add_argument("--traj", required=True, help="TUM-format trajectory")
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--dataset", default=None)
+    ap.add_argument("--type", default=None)
+    ap.add_argument("--stride", type=int, default=5)
+    ap.add_argument("--lpips", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gsorb_slam_tpu.core.camera import Camera
+    from gsorb_slam_tpu.core.config import load_config
+    from gsorb_slam_tpu.eval.ply import load_gaussian_ply
+    from gsorb_slam_tpu.eval.trajectory import load_tum
+    from gsorb_slam_tpu.ops import metrics as MM
+    from gsorb_slam_tpu.ops.losses import ssim
+    from gsorb_slam_tpu.raster import RasterConfig, render
+    from gsorb_slam_tpu.slam.dataset import open_dataset
+
+    cfg = load_config(args.config)
+    cam = Camera(
+        fx=cfg.camera.fx, fy=cfg.camera.fy, cx=cfg.camera.cx, cy=cfg.camera.cy,
+        width=cfg.camera.width, height=cfg.camera.height,
+    )
+    model = load_gaussian_ply(args.ply)
+    n = len(model["means"])
+    print(f"loaded {n} splats from {args.ply}")
+    traj = load_tum(args.traj)
+    ds = open_dataset(
+        args.type or cfg.dataset.type,
+        args.dataset or cfg.dataset.path,
+        cfg.camera.depth_map_factor,
+    )
+
+    rcfg = RasterConfig(tile=16, tile_capacity=1024, max_dup=16, chunk=128)
+    active = jnp.ones(n, bool)
+    params = {k: jnp.asarray(v) for k, v in model.items()}
+
+    psnrs, ssims, dl1s, lpipss = [], [], [], []
+    for i in range(0, min(len(traj), len(ds)), args.stride):
+        _, T_cw = traj[i]
+        out = render(
+            params["means"], params["rgb"], params["quats"],
+            params["logit_opacities"], params["log_scales"], active,
+            jnp.asarray(T_cw), cam, rcfg,
+        )
+        fr = ds[i]
+        pred = np.clip(np.asarray(out.color), 0, 1)
+        mask = fr.depth > 0
+        psnrs.append(
+            float(MM.psnr(jnp.asarray(pred), jnp.asarray(fr.rgb), jnp.asarray(mask)))
+        )
+        ssims.append(float(ssim(jnp.asarray(pred), jnp.asarray(fr.rgb))))
+        dl1s.append(
+            float(
+                MM.depth_l1(
+                    out.median_depth, jnp.asarray(fr.depth), jnp.asarray(mask)
+                )
+            )
+        )
+        if args.lpips:
+            lpipss.append(MM.lpips(pred, fr.rgb))
+
+    result = {
+        "psnr": float(np.mean(psnrs)),
+        "ssim": float(np.mean(ssims)),
+        "depth_l1": float(np.mean(dl1s)),
+        "lpips": float(np.nanmean(lpipss)) if lpipss else float("nan"),
+        "frames": len(psnrs),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,101 @@
+"""ctypes bindings for the native host-runtime library (``native/``).
+
+The reference's host runtime is C++ end to end; here the host-sequential
+kernels (exact quad-tree keypoint distribution, timestamp association) are
+native with transparent Python fallbacks when the library isn't built
+(``native/build.sh``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "native",
+        "libgsorb_native.so",
+    )
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(path)
+    lib.quadtree_distribute.restype = ctypes.c_int
+    lib.quadtree_distribute.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.associate_timestamps.restype = ctypes.c_int
+    lib.associate_timestamps.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.c_double, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+    ]
+    _LIB = lib
+    return lib
+
+
+def have_native() -> bool:
+    return _load() is not None
+
+
+def quadtree_distribute(
+    x: np.ndarray, y: np.ndarray, response: np.ndarray, n_keep: int,
+    bounds: tuple[float, float, float, float] | None = None,
+) -> np.ndarray:
+    """Exact ORB quad-tree spatial balancing -> boolean keep mask.
+
+    Falls back to best-response top-k when the native library is absent.
+    """
+    n = len(x)
+    lib = _load()
+    if lib is None or n == 0:
+        keep = np.zeros(n, bool)
+        keep[np.argsort(-response)[:n_keep]] = True
+        return keep
+    x = np.ascontiguousarray(x, np.float32)
+    y = np.ascontiguousarray(y, np.float32)
+    r = np.ascontiguousarray(response, np.float32)
+    if bounds is None:
+        bounds = (float(x.min()), float(y.min()), float(x.max()) + 1, float(y.max()) + 1)
+    keep = np.zeros(n, np.uint8)
+    lib.quadtree_distribute(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        r.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, bounds[0], bounds[1], bounds[2], bounds[3], n_keep,
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return keep.astype(bool)
+
+
+def associate_timestamps_native(
+    a: np.ndarray, b: np.ndarray, max_dt: float = 0.02
+) -> list[tuple[int, int]]:
+    lib = _load()
+    if lib is None:
+        from gsorb_slam_tpu.slam.dataset import associate_timestamps
+
+        return associate_timestamps(a, b, max_dt)
+    a = np.ascontiguousarray(a, np.float64)
+    b = np.ascontiguousarray(b, np.float64)
+    out = np.zeros(2 * len(a), np.int32)
+    n = lib.associate_timestamps(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(a),
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(b),
+        max_dt, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(a),
+    )
+    return [(int(out[2 * i]), int(out[2 * i + 1])) for i in range(n)]

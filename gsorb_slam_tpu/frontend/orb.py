@@ -238,6 +238,33 @@ def extract_orb(
     )
 
 
+def quadtree_refine(feats: ORBFeatures, cfg: ORBConfig = ORBConfig()) -> ORBFeatures:
+    """Exact quad-tree spatial balancing over the per-level candidates using
+    the native library (``native/gsorb_native.cpp``) — restores the
+    reference's ``DistributeOctTree`` selection semantics on top of the
+    vectorized extractor's per-cell top-k. No-op (top-k fallback keeps the
+    jit selection) when the native library isn't built."""
+    from gsorb_slam_tpu.frontend.native import have_native, quadtree_distribute
+
+    if not have_native():
+        return feats
+    valid = np.array(feats.valid)
+    uv = np.asarray(feats.uv)
+    resp = np.asarray(feats.response)
+    octv = np.asarray(feats.octave)
+    s = cfg.scale_factor
+    inv = 1.0 / s
+    weights = np.array([inv**l for l in range(cfg.n_levels)])
+    budgets = np.round(cfg.n_features * weights / weights.sum()).astype(int)
+    for l in range(cfg.n_levels):
+        sel = np.nonzero(valid & (octv == l))[0]
+        if len(sel) <= budgets[l]:
+            continue
+        keep = quadtree_distribute(uv[sel, 0], uv[sel, 1], resp[sel], int(budgets[l]))
+        valid[sel[~keep]] = False
+    return feats._replace(valid=jnp.asarray(valid))
+
+
 def level_sigma2(cfg: ORBConfig = ORBConfig()) -> np.ndarray:
     """Per-octave variance weights (``Frame::mvInvLevelSigma2`` source)."""
     return np.array([(cfg.scale_factor**l) ** 2 for l in range(cfg.n_levels)], np.float32)

@@ -17,6 +17,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persist compiled executables across test sessions — XLA compiles dominate
+# suite wall-time otherwise.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_gsorb_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest

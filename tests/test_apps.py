@@ -1,0 +1,120 @@
+"""CLI apps + native library smoke tests (synthetic data, CPU)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_run_rgbd_cli_synthetic(tmp_path):
+    from gsorb_slam_tpu.apps.run_rgbd import main
+
+    out = str(tmp_path / "run")
+    rc = main(
+        [
+            "--config", "configs/synthetic.yaml", "--type", "synthetic",
+            "--max-frames", "4", "--cpu", "--eval-stride", "2", "--out", out,
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "GaussianModel.ply"))
+    assert os.path.exists(os.path.join(out, "CameraTrajectory_TUM.txt"))
+    result = json.loads(open(os.path.join(out, "result.txt")).read().splitlines()[-1])
+    assert np.isfinite(result["psnr"])
+    assert result["n_eval_frames"] >= 2
+    assert "ate_rmse" in result
+
+
+def test_viewer_and_replay_cli(tmp_path):
+    from gsorb_slam_tpu.apps.run_rgbd import main as run_main
+    from gsorb_slam_tpu.apps.viewer import main as viewer_main
+
+    out = str(tmp_path / "run")
+    run_main(
+        [
+            "--config", "configs/synthetic.yaml", "--type", "synthetic",
+            "--max-frames", "3", "--cpu", "--no-eval", "--out", out,
+        ]
+    )
+    vout = str(tmp_path / "views")
+    rc = viewer_main(
+        [
+            "--ply", os.path.join(out, "GaussianModel.ply"),
+            "--config", "configs/synthetic.yaml",
+            "--mode", "replay",
+            "--traj", os.path.join(out, "CameraTrajectory_TUM.txt"),
+            "--out", vout,
+        ]
+    )
+    assert rc == 0
+    assert len(os.listdir(vout)) == 3
+
+
+def test_eval_ate_cli(tmp_path):
+    from gsorb_slam_tpu.apps.eval_ate import main
+    from gsorb_slam_tpu.eval.trajectory import save_tum
+
+    traj = [(float(i), np.eye(4, dtype=np.float32)) for i in range(10)]
+    for i, (_, T) in enumerate(traj):
+        T[:3, 3] = [0.1 * i, 0, 0]
+    p1 = str(tmp_path / "gt.txt")
+    p2 = str(tmp_path / "est.txt")
+    save_tum(p1, traj)
+    save_tum(p2, traj)
+    assert main([p1, p2]) == 0
+
+
+def test_native_quadtree_spreads(rng):
+    from gsorb_slam_tpu.frontend.native import have_native, quadtree_distribute
+
+    n = 3000
+    x = rng.uniform(0, 640, n).astype(np.float32)
+    y = rng.uniform(0, 480, n).astype(np.float32)
+    r = rng.uniform(0, 1, n).astype(np.float32)
+    keep = quadtree_distribute(x, y, r, 500)
+    assert keep.sum() == 500
+    if have_native():
+        # Quad-tree must spread selections more evenly than pure top-k.
+        def cv(mask):
+            hist = np.histogram2d(y[mask], x[mask], bins=(8, 8))[0]
+            return hist.std() / hist.mean()
+
+        topk = np.zeros(n, bool)
+        topk[np.argsort(-r)[:500]] = True
+        assert cv(keep) < cv(topk)
+
+
+def test_native_association_matches_python(rng):
+    from gsorb_slam_tpu.frontend.native import (
+        associate_timestamps_native,
+        have_native,
+    )
+    from gsorb_slam_tpu.slam.dataset import associate_timestamps
+
+    a = np.sort(rng.uniform(0, 50, 200))
+    b = np.sort(rng.uniform(0, 50, 190))
+    py = associate_timestamps(a, b, 0.05)
+    nat = associate_timestamps_native(a, b, 0.05)
+    if have_native():
+        # Both greedy nearest: association counts should be close, pairs valid.
+        assert abs(len(nat) - len(py)) <= max(3, 0.1 * len(py))
+        for i, j in nat:
+            assert abs(a[i] - b[j]) < 0.05
+
+
+def test_quadtree_refine_keeps_budget(rng):
+    import jax.numpy as jnp
+
+    from gsorb_slam_tpu.core.config import ORBConfig
+    from gsorb_slam_tpu.frontend.orb import extract_orb, quadtree_refine
+
+    img = np.zeros((120, 160), np.float32)
+    for _ in range(80):
+        yy, xx = rng.integers(22, 90), rng.integers(22, 130)
+        img[yy : yy + 8, xx : xx + 8] = rng.uniform(0.4, 1.0)
+    cfg = ORBConfig(n_features=200, n_levels=2)
+    feats = extract_orb(jnp.asarray(img), cfg)
+    refined = quadtree_refine(feats, cfg)
+    assert int(refined.count()) <= int(feats.count())
+    assert int(refined.count()) > 0
