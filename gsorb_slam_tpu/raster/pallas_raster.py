@@ -100,14 +100,17 @@ class _Dims(NamedTuple):
     n_chunks: int
     tx: int  # tiles per row
     n_tiles: int
+    exact: bool  # CUDA-exact early-stop semantics (see RasterConfig)
 
 
-def _chunk_alpha(chunk, pu, pv, T_in, done):
+def _chunk_alpha(chunk, pu, pv, T_in, done, exact=True):
     """Shared fwd/bwd per-chunk math.
 
     chunk: [N_ATTR, K] attribute slab; pu/pv: [1, px] pixel coords;
     T_in: [1, px] incoming transmittance; done: [1, px] bool.
-    Returns (alpha, clamped gate, apply mask, T_pref, w, T_out, crosses_any).
+    ``exact``: CUDA-exact early stop (cumulative-max of crossing flags) vs
+    fast mode (apply while incoming T >= threshold; <=1e-4 deviation).
+    Returns (alpha, clamped gate, apply mask, T_pref, w, T_out, done_out, power).
     """
     K = chunk.shape[1]
     col = lambda r: chunk[r, :][:, None]  # [K, 1]
@@ -128,15 +131,23 @@ def _chunk_alpha(chunk, pu, pv, T_in, done):
     alpha = jnp.where(contrib, alpha, 0.0)
     one_minus = 1.0 - alpha
     T_pref = T_in * _excl_cumprod(one_minus, K)  # [K, px]
-    crosses = contrib & (T_pref * one_minus < STOP_T)
-    blocked = _incl_cummax(crosses.astype(jnp.float32), K) > 0.5
-    apply = contrib & jnp.logical_not(blocked)
+    if exact:
+        crosses = contrib & (T_pref * one_minus < STOP_T)
+        blocked = _incl_cummax(crosses.astype(jnp.float32), K) > 0.5
+        apply = contrib & jnp.logical_not(blocked)
+        done_extra = jnp.any(crosses, axis=0, keepdims=True)
+    else:
+        apply = contrib & (T_pref >= STOP_T)
+        done_extra = None
     w = jnp.where(apply, alpha * T_pref, 0.0)
     # prod over applied instances = last row of an inclusive roll-cumprod
     # (Mosaic has no reduce_prod lowering).
     incl = _masked_roll_mul(jnp.where(apply, one_minus, 1.0), K)
     T_out = T_in * incl[K - 1 :, :]
-    done_out = done | jnp.any(crosses, axis=0, keepdims=True)
+    if exact:
+        done_out = done | done_extra
+    else:
+        done_out = done | (T_out < STOP_T)
     return alpha, unclamped, apply, T_pref, w, T_out, done_out, power
 
 
@@ -170,7 +181,7 @@ def _fwd_kernel(counts_ref, packed_ref, out_ref, chunk_t_ref, acc_ref, *, dims: 
         chunk_t_ref[0, c, :] = jnp.where(done, 0.0, T)[0]
         chunk = packed_ref[0, :, pl.ds(c * K, K)]  # [N_ATTR, K]
         alpha, _unc, apply, T_pref, w, T_out, done_out, _pw = _chunk_alpha(
-            chunk, pu, pv, T, done
+            chunk, pu, pv, T, done, dims.exact
         )
         col = lambda r: chunk[r, :][:, None]
         acc = lambda attr_row: jnp.sum(w * attr_row, axis=0, keepdims=True)
@@ -249,7 +260,7 @@ def _bwd_kernel(
         done = T_in <= 0.0
         chunk = packed_ref[0, :, pl.ds(c * K, K)]
         alpha, unclamped, apply, T_pref, w, _T_out, _done_out, power = _chunk_alpha(
-            chunk, pu, pv, T_in, done
+            chunk, pu, pv, T_in, done, dims.exact
         )
         col = lambda r: chunk[r, :][:, None]
         phi = gCr * col(_R) + gCg * col(_G) + gCb * col(_B) + gD * col(_Z) + gS
@@ -335,6 +346,7 @@ def _dims_for(cam: Camera, cfg: RasterConfig, cap: int) -> _Dims:
         n_chunks=cap // K,
         tx=tx,
         n_tiles=ty * tx,
+        exact=cfg.exact_stop,
     )
 
 

@@ -36,6 +36,12 @@ class RasterConfig:
     # Blend backend: "auto" = Pallas kernels on TPU, XLA elsewhere;
     # "pallas" / "xla" force one.
     backend: str = dataclasses.field(default="auto", metadata=dict(static=True))
+    # Early-stop semantics. True = CUDA-exact (the instance whose blend
+    # would cross T<1e-4 is NOT applied; needs a cumulative-max pass per
+    # chunk). False = fast mode: instances apply while their incoming
+    # transmittance is >= 1e-4 (the crossing instance IS applied). Outputs
+    # differ by <= 1e-4 in color/alpha — far below photometric noise.
+    exact_stop: bool = dataclasses.field(default=True, metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass

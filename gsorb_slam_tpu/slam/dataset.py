@@ -224,6 +224,7 @@ class SyntheticDataset(RGBDDataset):
         n_splats: int = 4000,
         seed: int = 0,
         motion_scale: float = 1.0,
+        scale_range: tuple = (0.03, 0.08),
     ):
         import jax
         import jax.numpy as jnp
@@ -244,7 +245,7 @@ class SyntheticDataset(RGBDDataset):
         quats = rng.normal(size=(n_splats, 4)).astype(np.float32)
         logit_op = np.full(n_splats, 6.0, np.float32)  # nearly opaque surface
         log_scales = np.log(
-            rng.uniform(0.03, 0.08, (n_splats, 3)).astype(np.float32)
+            rng.uniform(*scale_range, (n_splats, 3)).astype(np.float32)
         )
 
         self.poses = []

@@ -81,7 +81,11 @@ class System:
         seed: int = 0,
         frontend: str = "render",  # "render" | "orb"
         vocabulary=None,  # frontend.vocab.Vocabulary for loop closing
+        mono_min_matches: int = 60,
+        mono_min_inliers: int = 50,
     ):
+        self.mono_min_matches = mono_min_matches
+        self.mono_min_inliers = mono_min_inliers
         self.cfg = config if isinstance(config, SystemConfig) else load_config(config)
         cc = self.cfg.camera
         self.cam = Camera(
@@ -103,8 +107,12 @@ class System:
                 from gsorb_slam_tpu.slam.loop import LoopCloser
 
                 self.loop_closer = LoopCloser(vocabulary)
+        # exact_stop=False: production default — the early-stop deviation is
+        # <= 1e-4 in color/alpha (far below sensor noise) and saves ~8%/iter;
+        # pass a RasterConfig with exact_stop=True for CUDA-bit semantics.
         self.rcfg = raster or RasterConfig(
-            tile=16, tile_capacity=1024, max_dup=16, chunk=128, dilate_px=8.0
+            tile=16, tile_capacity=1024, max_dup=16, chunk=128, dilate_px=8.0,
+            exact_stop=False,
         )
         self.gm: GaussianMap = empty_map(self.cfg.mapping.max_gaussians)
         self.rng = np.random.default_rng(seed)
@@ -485,6 +493,232 @@ class System:
             )
         )
         return T_cw
+
+    # ------------------------------------------------------- other sensors
+
+    def track_stereo(
+        self, left: np.ndarray, right: np.ndarray, timestamp: float = 0.0
+    ) -> np.ndarray:
+        """Stereo entry point (``System::TrackStereo``): depth from
+        semi-global block matching on the rectified pair (``bf`` baseline
+        from the config), then the RGB-D pipeline. The reference instead
+        matches ORB descriptors across the pair (``ComputeStereoMatches``);
+        dense SGBM gives the densification stage full depth coverage."""
+        import cv2
+
+        lg = (np.asarray(left, np.float32) * 255).astype(np.uint8)
+        rg = (np.asarray(right, np.float32) * 255).astype(np.uint8)
+        if lg.ndim == 3:
+            lg = cv2.cvtColor(lg, cv2.COLOR_RGB2GRAY)
+            rg = cv2.cvtColor(rg, cv2.COLOR_RGB2GRAY)
+        sgbm = cv2.StereoSGBM_create(
+            minDisparity=0, numDisparities=96, blockSize=7,
+            P1=8 * 49, P2=32 * 49, uniquenessRatio=10,
+        )
+        disp = sgbm.compute(lg, rg).astype(np.float32) / 16.0
+        bf = self.cfg.camera.bf
+        depth = np.where(disp > 0.5, bf / np.maximum(disp, 0.5), 0.0)
+        rgb = left if np.asarray(left).ndim == 3 else np.repeat(
+            np.asarray(left)[..., None], 3, axis=-1
+        )
+        return self.track_rgbd(rgb, depth, timestamp)
+
+    def track_monocular(
+        self, rgb: np.ndarray, timestamp: float = 0.0
+    ) -> Optional[np.ndarray]:
+        """Monocular entry point (``System::TrackMonocular``). Bootstrap via
+        the H/F-RANSAC initializer, then ORB tracking with GS mapping from
+        triangulated points. Matches the reference's monocular scope: its
+        mono path never enters ``TrackWithGaussian`` — classic geometric
+        tracking with the splat map built from sparse structure
+        (``src/Tracking.cc:244,832-1009``; SURVEY.md §7 monocular note).
+        Returns None until initialization succeeds."""
+        if self.fe is None:
+            raise RuntimeError("monocular tracking requires frontend='orb'")
+        import jax.numpy as jnp2
+
+        from gsorb_slam_tpu.frontend.initializer import initialize_monocular
+        from gsorb_slam_tpu.frontend.matcher import match_descriptors
+
+        rgb_np = np.asarray(rgb, np.float32)
+        gray = (
+            0.299 * rgb_np[..., 0] + 0.587 * rgb_np[..., 1] + 0.114 * rgb_np[..., 2]
+        ).astype(np.float32)
+        feats = self.fe._extract(jnp.asarray(gray))
+
+        if not hasattr(self, "_mono_ref"):
+            self._mono_ref = None
+            self._mono_initialized = False
+
+        if not self._mono_initialized:
+            if self._mono_ref is None:
+                self._mono_ref = (feats, rgb_np)
+                self.frame_id += 1
+                return None
+            ref_feats, ref_rgb = self._mono_ref
+            m = match_descriptors(ref_feats, feats)
+            mv = np.asarray(m.valid)
+            if mv.sum() < self.mono_min_matches:
+                self._mono_ref = (feats, rgb_np)
+                self.frame_id += 1
+                return None
+            uv1 = np.asarray(ref_feats.uv)[mv]
+            uv2 = np.asarray(feats.uv)[np.asarray(m.idx2)[mv]]
+            res = initialize_monocular(
+                uv1, uv2, np.asarray(self.cam.K),
+                min_inliers=self.mono_min_inliers,
+            )
+            if res is None:
+                self.frame_id += 1
+                return None
+            # Seed the geometric map with the triangulated structure and the
+            # splat map with the sparse colored points.
+            good = res.inliers
+            pts = res.points[good]
+            cols = ref_rgb[
+                np.clip(uv1[good, 1].astype(int), 0, ref_rgb.shape[0] - 1),
+                np.clip(uv1[good, 0].astype(int), 0, ref_rgb.shape[1] - 1),
+            ]
+            n = len(pts)
+            p0 = self.fe.n_points
+            take = min(n, len(self.fe.pt_pos) - p0)
+            self.fe.pt_pos[p0 : p0 + take] = pts[:take]
+            self.fe.pt_desc[p0 : p0 + take] = np.asarray(ref_feats.descriptors)[mv][
+                good
+            ][:take]
+            self.fe.pt_valid[p0 : p0 + take] = True
+            self.fe.pt_visible[p0 : p0 + take] = 2
+            self.fe.pt_found[p0 : p0 + take] = 2
+            self.fe.n_points += take
+            from gsorb_slam_tpu.splat.gaussians import add_points as _add
+
+            self.gm = _add(
+                self.gm, jnp2.asarray(pts[:take]), jnp2.asarray(cols[:take]),
+                jnp2.asarray(pts[:take, 2]),
+                jnp2.ones(take, bool), self.cam.fx, self.cam.fy,
+            )
+            self._mono_initialized = True
+            self.last_T_cw = res.T_cw2.astype(np.float32)
+            self.trajectory.append(
+                FrameRecord(self.frame_id, timestamp, self.last_T_cw, True, 0.0, 0)
+            )
+            self.frame_id += 1
+            return self.last_T_cw
+
+        # Initialized: ORB projection tracking + robust pose optimization.
+        T_pred = (self.velocity @ self.last_T_cw).astype(np.float32)
+        fe_res = self.fe.process_frame(gray, T_pred)
+        T_cw = fe_res.T_orb if fe_res.T_orb is not None else T_pred
+        self.velocity = (T_cw @ np.linalg.inv(self.last_T_cw)).astype(np.float32)
+        self.last_T_cw = T_cw
+        self.trajectory.append(
+            FrameRecord(self.frame_id, timestamp, T_cw, False, 0.0, fe_res.n_inliers)
+        )
+        self.frame_id += 1
+        return T_cw
+
+    # ------------------------------------------------------------ checkpoint
+
+    def save_checkpoint(self, path: str) -> None:
+        """Full mid-run checkpoint: splat params + Adam state + keyframe
+        graph + trajectory. The reference only has TODO stubs for this
+        (``System::SaveMap/LoadMap``, ``include/System.h:131-133``); its only
+        artifact is the terminal PLY. Here the PLY remains the interchange
+        format (``eval/ply.py``) and this is the lossless resume format."""
+        import os
+        import pickle
+
+        os.makedirs(path, exist_ok=True)
+        gm = self.gm
+        np.savez_compressed(
+            os.path.join(path, "gaussians.npz"),
+            means=np.asarray(gm.means),
+            rgb=np.asarray(gm.rgb),
+            quats=np.asarray(gm.quats),
+            logit_opacities=np.asarray(gm.logit_opacities),
+            log_scales=np.asarray(gm.log_scales),
+            active=np.asarray(gm.active),
+            count=np.asarray(gm.count),
+            adam_t=np.asarray(gm.adam_t),
+            scene_radius=np.asarray(gm.scene_radius),
+            max_z=np.asarray(gm.max_z),
+            **{f"m_{k}": np.asarray(v) for k, v in gm.adam_m.items()},
+            **{f"v_{k}": np.asarray(v) for k, v in gm.adam_v.items()},
+        )
+        meta = {
+            "frame_id": self.frame_id,
+            "last_kf_frame_id": self.last_kf_frame_id,
+            "velocity": self.velocity,
+            "last_T_cw": self.last_T_cw,
+            "keyframes": [
+                dict(
+                    kf_id=kf.kf_id, frame_id=kf.frame_id, T_cw=kf.T_cw,
+                    ref_points_cam=kf.ref_points_cam,
+                    rendered_num=kf.rendered_num,
+                )
+                for kf in self.keyframes
+            ],
+            "trajectory": [
+                dict(
+                    frame_id=r.frame_id, timestamp=r.timestamp, T_cw=r.T_cw,
+                    is_keyframe=r.is_keyframe, track_loss=r.track_loss,
+                    track_iters=r.track_iters,
+                )
+                for r in self.trajectory
+            ],
+        }
+        with open(os.path.join(path, "state.pkl"), "wb") as f:
+            pickle.dump(meta, f)
+        np.savez_compressed(
+            os.path.join(path, "kf_pools.npz"),
+            colors=np.asarray(self._kf_colors),
+            depths=np.asarray(self._kf_depths),
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        """Restore a :meth:`save_checkpoint` state and continue tracking."""
+        import os
+        import pickle
+
+        z = np.load(os.path.join(path, "gaussians.npz"))
+        names = ("means", "rgb", "quats", "logit_opacities", "log_scales")
+        self.gm = dataclasses.replace(
+            self.gm,
+            **{k: jnp.asarray(z[k]) for k in names},
+            active=jnp.asarray(z["active"]),
+            count=jnp.asarray(z["count"]),
+            adam_t=jnp.asarray(z["adam_t"]),
+            scene_radius=jnp.asarray(z["scene_radius"]),
+            max_z=jnp.asarray(z["max_z"]),
+            adam_m={k: jnp.asarray(z[f"m_{k}"]) for k in names},
+            adam_v={k: jnp.asarray(z[f"v_{k}"]) for k in names},
+        )
+        with open(os.path.join(path, "state.pkl"), "rb") as f:
+            meta = pickle.load(f)
+        self.frame_id = meta["frame_id"]
+        self.last_kf_frame_id = meta["last_kf_frame_id"]
+        self.velocity = meta["velocity"]
+        self.last_T_cw = meta["last_T_cw"]
+        self.keyframes = [
+            W.KeyFrameMeta(
+                kf_id=d["kf_id"], frame_id=d["frame_id"], T_cw=d["T_cw"],
+                ref_points_cam=d["ref_points_cam"],
+                rendered_num=d["rendered_num"],
+            )
+            for d in meta["keyframes"]
+        ]
+        self.trajectory = [
+            FrameRecord(
+                frame_id=d["frame_id"], timestamp=d["timestamp"], T_cw=d["T_cw"],
+                is_keyframe=d["is_keyframe"], track_loss=d["track_loss"],
+                track_iters=d["track_iters"],
+            )
+            for d in meta["trajectory"]
+        ]
+        pools = np.load(os.path.join(path, "kf_pools.npz"))
+        self._kf_colors = jnp.asarray(pools["colors"])
+        self._kf_depths = jnp.asarray(pools["depths"])
+        self._invalidate_all_bins()
 
     # ------------------------------------------------------------------ eval
 

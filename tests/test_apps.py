@@ -71,18 +71,22 @@ def test_native_quadtree_spreads(rng):
     n = 3000
     x = rng.uniform(0, 640, n).astype(np.float32)
     y = rng.uniform(0, 480, n).astype(np.float32)
-    r = rng.uniform(0, 1, n).astype(np.float32)
+    # Response correlated with x: pure top-k piles onto one image side,
+    # the quad-tree must still spread selections spatially.
+    r = (x / 640.0 + 0.1 * rng.uniform(0, 1, n)).astype(np.float32)
     keep = quadtree_distribute(x, y, r, 500)
     assert keep.sum() == 500
     if have_native():
-        # Quad-tree must spread selections more evenly than pure top-k.
-        def cv(mask):
+        # Quad-tree must COVER the image; response-biased top-k clusters.
+        def coverage(mask):
             hist = np.histogram2d(y[mask], x[mask], bins=(8, 8))[0]
-            return hist.std() / hist.mean()
+            return (hist > 0).mean()
 
         topk = np.zeros(n, bool)
         topk[np.argsort(-r)[:500]] = True
-        assert cv(keep) < cv(topk)
+        assert coverage(keep) > coverage(topk)
+        assert abs(x[keep].mean() - 320) < 80  # spatially centered
+        assert x[topk].mean() > 450  # the top-k baseline clusters right
 
 
 def test_native_association_matches_python(rng):
