@@ -108,6 +108,7 @@ def densify_frame(
         add_mask.reshape(-1),
         cam.fx,
         cam.fy,
+        init_scalar_method=mcfg.init_scalar_method,
     )
     max_z = jnp.maximum(gm.max_z, jnp.max(jnp.where(add_mask, gt_depth, 0.0)))
     gm = dataclasses.replace(gm, max_z=max_z)
@@ -141,6 +142,7 @@ def seed_from_frame(
         (depth > 0).reshape(-1),
         cam.fx,
         cam.fy,
+        init_scalar_method=mcfg.init_scalar_method,
     )
     max_z = jnp.maximum(gm.max_z, jnp.max(depth))
     return dataclasses.replace(

@@ -731,6 +731,17 @@ class System:
         bins = self._bin_jit(self.gm, jnp.asarray(T_cw))
         return self._render_jit(self.gm, jnp.asarray(T_cw), bins)
 
+    # -------------------------------------------------------- observability
+
+    def start_trace(self, log_dir: str) -> None:
+        """Begin a device trace (``jax.profiler``) — the structured upgrade
+        of the reference's chrono counters (``src/Render.cc:34-41``).
+        View with TensorBoard/XProf."""
+        jax.profiler.start_trace(log_dir)
+
+    def stop_trace(self) -> None:
+        jax.profiler.stop_trace()
+
     def shutdown_summary(self) -> dict:
         """Timing/stats contract of ``SavePlyAndPrintTime``
         (``src/Render.cc:167-174``)."""

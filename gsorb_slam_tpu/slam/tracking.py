@@ -149,36 +149,38 @@ def track_frame(
         )
         return loss, chi2
 
-    def step(carry, it):
-        ps, inliers, best_q, best_t, best_loss, last_loss, stopped, n_applied = carry
+    # The iteration loop is a while_loop with a dynamic trip count: the
+    # reference BREAKS on |dloss| < 1e-3 (src/Render.cc:1108-1111), and a
+    # while actually skips the remaining renders (a frozen scan would only
+    # mask their updates while still paying for them).
+    def cond(carry):
+        ps, inliers, best_q, best_t, best_loss, last_loss, it, n_applied = carry
+        return it < num_iters
+
+    def step(carry):
+        ps, inliers, best_q, best_t, best_loss, last_loss, it, n_applied = carry
         (loss, chi2), (gq, gt_) = jax.value_and_grad(
             lambda q, t: loss_fn(q, t, inliers), argnums=(0, 1), has_aux=True
         )(ps.quat, ps.trans)
 
         # Halfway inlier re-gate on the current pose's raw chi^2.
-        new_inliers = jnp.where(
+        inliers = jnp.where(
             it == regate_iter,
             reprojection_chi2(pose_to_matrix(ps.quat, ps.trans), matches, cam)
             < CHI2_INLIER,
             inliers,
         )
 
-        improved = (~stopped) & jnp.isfinite(loss) & (loss < best_loss)
+        improved = jnp.isfinite(loss) & (loss < best_loss)
         best_q = jnp.where(improved, ps.quat, best_q)
         best_t = jnp.where(improved, ps.trans, best_t)
         best_loss = jnp.where(improved, loss, best_loss)
 
         converged = jnp.abs(last_loss - loss) < tcfg.early_stop_delta
-        new_stopped = stopped | converged
+        it_next = jnp.where(converged, num_iters, it + 1)  # break
 
-        ps_next = pose_adam_step(ps, gq, gt_, tcfg)
-        ps_next = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(stopped, old, new), ps_next, ps
-        )
-        n_applied = n_applied + (~stopped).astype(jnp.int32)
-        return (
-            ps_next, new_inliers, best_q, best_t, best_loss, loss, new_stopped, n_applied
-        ), None
+        ps = pose_adam_step(ps, gq, gt_, tcfg)
+        return (ps, inliers, best_q, best_t, best_loss, loss, it_next, n_applied + 1)
 
     inliers0 = jnp.ones_like(matches.valid)
     carry0 = (
@@ -188,11 +190,11 @@ def track_frame(
         trans0,
         jnp.asarray(jnp.inf, jnp.float32),
         jnp.asarray(0.0, jnp.float32),
-        jnp.asarray(False),
+        jnp.asarray(0, jnp.int32),
         jnp.asarray(0, jnp.int32),
     )
-    (ps, inliers, best_q, best_t, best_loss, _, _, n_applied), _ = jax.lax.scan(
-        step, carry0, jnp.arange(num_iters)
+    ps, inliers, best_q, best_t, best_loss, _, _, n_applied = jax.lax.while_loop(
+        cond, step, carry0
     )
 
     T_best = pose_to_matrix(best_q, best_t)

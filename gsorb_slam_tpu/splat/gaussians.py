@@ -122,16 +122,32 @@ def add_points(
     valid: jnp.ndarray,  # [M] bool — which candidates to insert
     fx: float,
     fy: float,
+    init_scalar_method: int = 2,
 ) -> GaussianMap:
     """Densify: scatter valid candidate splats at the write cursor.
 
     Equivalent of ``Gaussian::AddGaussianPoints`` (``src/Gaussian.cc:50-95``)
     + ``CatTensorToOptimizer`` (``:241-258``): new rows get quat=identity,
-    logit-opacity=1, SinglePixel scales, zero Adam moments. Candidates beyond
-    remaining capacity are dropped (scatter mode='drop').
+    logit-opacity=1, scale per ``init_scalar_method`` (0: 3-NN distance,
+    1: clamped 3-NN, 2: SinglePixel — the default in every shipped YAML),
+    zero Adam moments. Candidates beyond remaining capacity are dropped
+    (scatter mode='drop').
     """
     capacity = gm.capacity
     valid = valid.astype(bool)
+
+    if init_scalar_method == 2:
+        log_scale_1d = single_pixel_log_scale(z_cam, fx, fy)
+    else:
+        from gsorb_slam_tpu.ops.knn import knn3_mean_sq_dist
+
+        dist2 = jnp.maximum(knn3_mean_sq_dist(means, valid), 1e-7)
+        d = jnp.sqrt(dist2)
+        if init_scalar_method == 1:  # DistanceMean: clamp at 8x mean
+            denom = jnp.maximum(jnp.sum(valid), 1)
+            mean_d = jnp.sum(jnp.where(valid, d, 0.0)) / denom
+            d = jnp.minimum(d, 8.0 * mean_d)
+        log_scale_1d = jnp.log(d)
     # Slot index for each valid candidate: cursor + rank-in-valid.
     ranks = jnp.cumsum(valid.astype(jnp.int32)) - 1
     slots = jnp.where(valid, gm.count + ranks, capacity)  # capacity => dropped
@@ -149,9 +165,7 @@ def add_points(
             "rgb": rgb,
             "quats": jnp.zeros(means.shape[:1] + (4,), jnp.float32).at[:, 0].set(1.0),
             "logit_opacities": jnp.ones(means.shape[:1], jnp.float32),
-            "log_scales": jnp.tile(
-                single_pixel_log_scale(z_cam, fx, fy)[:, None], (1, 3)
-            ),
+            "log_scales": jnp.tile(log_scale_1d[:, None], (1, 3)),
         }[name]
 
     new_params = {k: scat(getattr(gm, k), src_shape(k)) for k in _PARAM_NAMES}
