@@ -100,10 +100,17 @@ def preprocess(
     inv_det = 1.0 / safe_det
     conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
 
-    # radius = ceil(3 sqrt(max eigenvalue)) (forward.cu:176-181)
+    # radius = ceil(3 sqrt(max eigenvalue)) (forward.cu:176-181), further
+    # tightened by opacity: alpha(d) = op * exp(-d^2 / (2 lam1)) falls below
+    # the blend's 1/255 skip at d = sqrt(2 lam1 ln(255 op)), so low-opacity
+    # splats get smaller tile footprints with zero output change (their
+    # dropped pixels were discarded by the MIN_ALPHA test regardless).
     mid = 0.5 * (a + c)
     lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
-    radius = jnp.ceil(3.0 * jnp.sqrt(lam1))
+    op = jax.nn.sigmoid(logit_opacities)
+    ln_term = jnp.log(jnp.maximum(255.0 * op, 1e-6))
+    cutoff = jnp.sqrt(2.0 * lam1 * jnp.maximum(ln_term, 0.0))
+    radius = jnp.ceil(jnp.minimum(3.0 * jnp.sqrt(lam1), cutoff))
 
     u = cam.fx * txz + cam.cx
     v = cam.fy * tyz + cam.cy
@@ -117,13 +124,14 @@ def preprocess(
         & (v + radius > 0)
         & (v - radius < cam.height)
     )
-    valid = active & in_front & det_ok & on_screen
+    # op < 1/255 can never pass the blend's alpha skip anywhere: cull.
+    valid = active & in_front & det_ok & on_screen & (op >= 1.0 / 255.0)
 
     return Preprocessed(
         mean2d=mean2d,
         depth=jnp.where(valid, tz, jnp.inf),
         conic=conic,
-        opacity=jax.nn.sigmoid(logit_opacities),
+        opacity=op,
         color=rgb,
         radius=jnp.where(valid, radius, 0.0),
         valid=valid,
