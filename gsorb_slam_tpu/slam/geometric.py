@@ -254,6 +254,62 @@ class GeometricFrontend:
         out.sort(key=lambda x: -x[1])
         return out
 
+    def cull_keyframes(self, min_redundant: float = 0.9) -> list[int]:
+        """Drop keyframes whose map points are >=90% covered by >=3 other
+        keyframes (``LocalMapping::KeyFrameCulling`` ``src/LocalMapping.cc:640``,
+        which uses 95% of close points; the columnar check counts all
+        observed points). Returns culled kf ids."""
+        obs_count: dict[int, int] = {}
+        for kf in self.keyframes:
+            for p in kf.point_ids[kf.point_ids >= 0]:
+                if self.pt_valid[p]:
+                    obs_count[int(p)] = obs_count.get(int(p), 0) + 1
+        culled = []
+        # Never cull the first two or the latest keyframe.
+        for kf in self.keyframes[2:-1]:
+            pts = [int(p) for p in kf.point_ids[kf.point_ids >= 0] if self.pt_valid[p]]
+            if len(pts) < 10:
+                continue
+            redundant = sum(1 for p in pts if obs_count.get(p, 0) >= 4)
+            if redundant / len(pts) >= min_redundant:
+                culled.append(kf.kf_id)
+        self.keyframes = [kf for kf in self.keyframes if kf.kf_id not in set(culled)]
+        return culled
+
+    def relocalize(self, feats: ORBFeatures, n_candidates: int = 3):
+        """Relocalization (``Tracking::Relocalization`` ``src/Tracking.cc:1718``):
+        score keyframes by descriptor matches, run robust PnP against the
+        best candidates' map points. Returns T_cw or None."""
+        from gsorb_slam_tpu.frontend.matcher import match_descriptors
+        from gsorb_slam_tpu.frontend.pnp import ransac_pnp
+
+        scored = []
+        for kf in self.keyframes[-20:]:
+            m = match_descriptors(feats, kf.feats, max_dist=64)
+            scored.append((int(np.asarray(m.valid).sum()), kf, m))
+        scored.sort(key=lambda x: -x[0])
+        for n_match, kf, m in scored[:n_candidates]:
+            if n_match < 15:
+                break
+            mv = np.asarray(m.valid)
+            idx2 = np.asarray(m.idx2)
+            world, uv = [], []
+            f_uv = np.asarray(feats.uv)
+            for i in np.nonzero(mv)[0]:
+                p = kf.point_ids[idx2[i]]
+                if p >= 0 and self.pt_valid[p]:
+                    world.append(self.pt_pos[p])
+                    uv.append(f_uv[i])
+            if len(world) < 12:
+                continue
+            res = ransac_pnp(
+                np.stack(world), np.stack(uv).astype(np.float32),
+                np.ones(len(world), bool), self.cam,
+            )
+            if res is not None and res.n_inliers >= 15:
+                return res.T_cw
+        return None
+
     def local_ba(self, n_kfs: int = 6, outer_iters: int = 8) -> list[int]:
         """Local BA over the most recent keyframes + their points. Returns
         the adjusted keyframe ids (callers bump ``mRenderedNum`` analogs,

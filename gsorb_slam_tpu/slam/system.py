@@ -392,10 +392,19 @@ class System:
             if fe_res.T_orb is not None:
                 T_init = fe_res.T_orb.astype(np.float32)
                 matches = fe_res.matches
+                self._lost_streak = 0
             else:
                 # ORB lost: GS tracker takes over with the lost-mode budget
-                # (src/Tracking.cc:339-350).
+                # (src/Tracking.cc:339-350); after a persistent loss, try
+                # DBoW-free relocalization (Tracking::Relocalization analog).
                 n_track_iters = cfg.tracking.lost_num_iters
+                self._lost_streak = getattr(self, "_lost_streak", 0) + 1
+                if self._lost_streak >= 3 and self.fe is not None:
+                    T_reloc = self.fe.relocalize(fe_res.feats)
+                    if T_reloc is not None:
+                        T_init = T_reloc.astype(np.float32)
+                        self.velocity = np.eye(4, dtype=np.float32)
+                        self._lost_streak = 0
 
         t0 = time.perf_counter()
         bins = self._bin_jit(self.gm, jnp.asarray(T_init))
