@@ -83,6 +83,50 @@ def match_descriptors(
     )
 
 
+def fundamental_from_poses(T1_cw: jnp.ndarray, T2_cw: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
+    """F12 mapping image-1 points to epipolar lines in image 2
+    (``ComputeF12`` ``src/LocalMapping.cc``)."""
+    T21 = T2_cw @ jnp.linalg.inv(T1_cw)
+    R = T21[:3, :3]
+    t = T21[:3, 3]
+    tx = jnp.array(
+        [[0.0, -t[2], t[1]], [t[2], 0.0, -t[0]], [-t[1], t[0], 0.0]]
+    )
+    Kinv = jnp.linalg.inv(K)
+    return Kinv.T @ tx @ R @ Kinv
+
+
+def search_for_triangulation(
+    f1: ORBFeatures,
+    f2: ORBFeatures,
+    F12: jnp.ndarray,
+    unmatched1: jnp.ndarray,  # [N1] bool: keypoints without a map point
+    unmatched2: jnp.ndarray,
+    max_dist: int = TH_LOW,
+    epi_th: float = 3.84,
+) -> MatchResult:
+    """Descriptor matching constrained to the epipolar line — candidates for
+    new-point triangulation (``SearchForTriangulation``
+    ``src/ORBmatcher.cc:657``)."""
+    D = hamming_matrix(f1.descriptors, f2.descriptors)
+    x1 = jnp.concatenate([f1.uv, jnp.ones_like(f1.uv[:, :1])], axis=1)
+    lines2 = x1 @ F12.T  # [N1, 3] epipolar lines in image 2
+    x2 = jnp.concatenate([f2.uv, jnp.ones_like(f2.uv[:, :1])], axis=1)
+    num = (lines2[:, None, :] * x2[None, :, :]).sum(-1) ** 2
+    den = jnp.maximum(lines2[:, None, 0] ** 2 + lines2[:, None, 1] ** 2, 1e-12)
+    epi_ok = num / den < epi_th
+    mask = (
+        epi_ok
+        & (f1.valid & unmatched1)[:, None]
+        & (f2.valid & unmatched2)[None, :]
+    )
+    D = jnp.where(mask, D, BIG)
+    best = jnp.argmin(D, axis=1)
+    d_best = jnp.take_along_axis(D, best[:, None], axis=1)[:, 0]
+    valid = d_best <= max_dist
+    return MatchResult(idx2=jnp.where(valid, best, -1), dist=d_best, valid=valid)
+
+
 def search_by_projection(
     world: jnp.ndarray,  # [M, 3] map-point positions
     descriptors: jnp.ndarray,  # [M, 8] representative descriptors

@@ -254,6 +254,103 @@ class GeometricFrontend:
         out.sort(key=lambda x: -x[1])
         return out
 
+    def create_new_map_points(
+        self, kf1: KeyFrameFeatures, kf2: KeyFrameFeatures, max_new: int = 200
+    ) -> int:
+        """Triangulate new points from epipolar-constrained matches between
+        two keyframes (``LocalMapping::CreateNewMapPoints``
+        ``src/LocalMapping.cc:213``). Used for monocular map growth; the
+        RGB-D path creates points from depth, as in the reference."""
+        from gsorb_slam_tpu.frontend.initializer import triangulate
+        from gsorb_slam_tpu.frontend.matcher import (
+            fundamental_from_poses,
+            search_for_triangulation,
+        )
+
+        K = np.asarray(self.cam.K)
+        F12 = fundamental_from_poses(
+            jnp.asarray(kf1.T_cw), jnp.asarray(kf2.T_cw), jnp.asarray(K)
+        )
+        un1 = jnp.asarray(kf1.point_ids < 0)
+        un2 = jnp.asarray(kf2.point_ids < 0)
+        m = search_for_triangulation(kf1.feats, kf2.feats, F12, un1, un2)
+        mv = np.asarray(m.valid)
+        if not mv.any():
+            return 0
+        idx1 = np.nonzero(mv)[0]
+        idx2 = np.asarray(m.idx2)[mv]
+        uv1 = np.asarray(kf1.feats.uv)[idx1]
+        uv2 = np.asarray(kf2.feats.uv)[idx2]
+        P1 = K @ kf1.T_cw[:3]
+        P2 = K @ kf2.T_cw[:3]
+        X = np.asarray(
+            triangulate(jnp.asarray(P1), jnp.asarray(P2), jnp.asarray(uv1), jnp.asarray(uv2))
+        )
+        # Cheirality + reprojection gates.
+        z1 = (X @ kf1.T_cw[:3, :3].T + kf1.T_cw[:3, 3])[:, 2]
+        z2 = (X @ kf2.T_cw[:3, :3].T + kf2.T_cw[:3, 3])[:, 2]
+        finite = np.isfinite(X).all(1)
+        good = finite & (z1 > 0.05) & (z2 > 0.05) & (np.abs(X) < 1e3).all(1)
+        created = 0
+        desc1 = np.asarray(kf1.feats.descriptors)
+        for j in np.nonzero(good)[0][:max_new]:
+            if self.n_points >= len(self.pt_pos):
+                break
+            p = self.n_points
+            self.pt_pos[p] = X[j]
+            self.pt_desc[p] = desc1[idx1[j]]
+            self.pt_valid[p] = True
+            self.pt_first_kf[p] = kf1.kf_id
+            self.pt_visible[p] = 2
+            self.pt_found[p] = 2
+            kf1.point_ids[idx1[j]] = p
+            kf2.point_ids[idx2[j]] = p
+            self.n_points += 1
+            created += 1
+        return created
+
+    def fuse_duplicates(self, kf: KeyFrameFeatures, radius: float = 3.0) -> int:
+        """Project other map points into a keyframe and merge duplicates
+        (``ORBmatcher::Fuse`` ``src/ORBmatcher.cc:825``): a keypoint already
+        holding a point keeps the more-observed one; the loser is retired."""
+        from gsorb_slam_tpu.frontend.matcher import search_by_projection
+
+        ids = self.local_map_points()
+        if len(ids) < 10:
+            return 0
+        m = search_by_projection(
+            jnp.asarray(self.pt_pos[ids]),
+            jnp.asarray(self.pt_desc[ids]),
+            jnp.asarray(self.pt_valid[ids]),
+            kf.feats,
+            jnp.asarray(kf.T_cw),
+            self.cam,
+            radius=radius,
+            max_dist=50,
+        )
+        mv = np.asarray(m.valid)
+        kp = np.asarray(m.idx2)
+        fused = 0
+        for i in np.nonzero(mv)[0]:
+            p_new = int(ids[i])
+            existing = int(kf.point_ids[kp[i]])
+            if existing < 0:
+                kf.point_ids[kp[i]] = p_new
+                continue
+            if existing == p_new or not self.pt_valid[existing]:
+                continue
+            keep, drop = (
+                (existing, p_new)
+                if self.pt_found[existing] >= self.pt_found[p_new]
+                else (p_new, existing)
+            )
+            self.pt_valid[drop] = False
+            self.pt_found[keep] += self.pt_found[drop]
+            self.pt_visible[keep] += self.pt_visible[drop]
+            kf.point_ids[kp[i]] = keep
+            fused += 1
+        return fused
+
     def cull_keyframes(self, min_redundant: float = 0.9) -> list[int]:
         """Drop keyframes whose map points are >=90% covered by >=3 other
         keyframes (``LocalMapping::KeyFrameCulling`` ``src/LocalMapping.cc:640``,

@@ -1,0 +1,63 @@
+"""Triangulation-based map growth + duplicate fusion."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gsorb_slam_tpu.core.camera import Camera
+from gsorb_slam_tpu.core.config import ORBConfig
+from gsorb_slam_tpu.slam.geometric import GeometricFrontend
+
+from tests.test_frontend import make_textured_image
+
+
+def _fe(cam):
+    return GeometricFrontend(
+        cam, ORBConfig(n_features=400, n_levels=2), max_points=10000,
+        local_ba_every=100,
+    )
+
+
+def test_create_new_map_points_triangulates(rng):
+    """Two keyframes of a fronto-parallel textured plane with a known
+    baseline: triangulated points must land near the plane depth."""
+    cam = Camera(fx=200.0, fy=200.0, cx=160.0, cy=120.0, width=320, height=240)
+    fe = _fe(cam)
+    img1 = make_textured_image(rng, h=240, w=320)
+    z = 2.0
+    # Second view: pure x-translation b -> image shifts by fx*b/z pixels.
+    b = 0.2
+    shift_px = int(round(cam.fx * b / z))
+    img2 = np.roll(img1, -shift_px, axis=1)
+
+    T1 = np.eye(4, dtype=np.float32)
+    T2 = np.eye(4, dtype=np.float32)
+    T2[0, 3] = -b * 1.0  # camera moves +x in world => points shift -x in cam2
+    f1 = fe._extract(jnp.asarray(img1))
+    f2 = fe._extract(jnp.asarray(img2))
+    # Keyframes WITHOUT depth points (empty depth) so triangulation drives.
+    kf1 = fe.create_keyframe(f1, np.zeros(img1.shape, np.float32), T1, 0)
+    kf2 = fe.create_keyframe(f2, np.zeros(img1.shape, np.float32), T2, 1)
+    n = fe.create_new_map_points(kf1, kf2)
+    assert n > 30, n
+    pts = fe.pt_pos[: fe.n_points]
+    good_z = np.abs(pts[:n, 2] - z) < 0.25
+    assert good_z.mean() > 0.8, pts[:10, 2]
+
+
+def test_fuse_duplicates_merges(rng):
+    cam = Camera(fx=150.0, fy=150.0, cx=160.0, cy=120.0, width=320, height=240)
+    fe = _fe(cam)
+    img = make_textured_image(rng, h=240, w=320)
+    depth = np.full(img.shape, 2.0, np.float32)
+    f1 = fe._extract(jnp.asarray(img))
+    kf1 = fe.create_keyframe(f1, depth, np.eye(4, dtype=np.float32), 0)
+    n_after_kf1 = fe.n_points
+    # Second keyframe of the same view creates DUPLICATE points for the
+    # same physical corners (it doesn't know about kf1's).
+    f2 = fe._extract(jnp.asarray(img))
+    kf2 = fe.create_keyframe(f2, depth, np.eye(4, dtype=np.float32), 1)
+    assert fe.n_points > n_after_kf1
+    n_valid_before = int(fe.pt_valid.sum())
+    fused = fe.fuse_duplicates(kf2)
+    assert fused > 10, fused
+    assert int(fe.pt_valid.sum()) == n_valid_before - fused
