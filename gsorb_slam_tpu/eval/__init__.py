@@ -1,3 +1,3 @@
-from gsorb_slam_tpu.eval import ate, ply, trajectory
+from gsorb_slam_tpu.eval import ate, evaluate, ply, trajectory
 
-__all__ = ["ate", "ply", "trajectory"]
+__all__ = ["ate", "evaluate", "ply", "trajectory"]
