@@ -146,8 +146,10 @@ def preprocess_instances(
     det_ok = det > 0.0
     inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
 
-    u = cam.fx * txz + cam.cx
-    v = cam.fy * tyz + cam.cy
+    # Center projected unclamped; the clamp is only for the EWA Jacobian
+    # (matches raster.preprocess — ADVICE r1).
+    u = cam.fx * (tx_ / safe_z) + cam.cx
+    v = cam.fy * (ty_ / safe_z) + cam.cy
     valid = (live > 0.5) & in_front & det_ok
     vf = valid.astype(jnp.float32)
 
@@ -157,7 +159,9 @@ def preprocess_instances(
         c * inv_det,
         -b * inv_det,
         a * inv_det,
-        jax.nn.sigmoid(logit_op),
+        # Opacity carries the live mask: the Pallas kernels gate contribution
+        # purely on alpha, never reading the live row.
+        jax.nn.sigmoid(logit_op) * vf,
         r_,
         g_,
         b_,
@@ -278,12 +282,13 @@ def render_instances(
     cfg: RasterConfig,
     bg: jnp.ndarray | float = 0.0,
     interpret: bool | None = None,
+    scale_modifier: float = 1.0,
 ) -> RenderOutput:
     """Render from raw tile-instances at an arbitrary (differentiable) pose.
 
     Pallas blend on TPU; XLA blend elsewhere (interpret-mode Pallas is far
     too slow for the CPU test suite)."""
-    screen = preprocess_instances(raw, T_cw, cam, 1.0)
+    screen = preprocess_instances(raw, T_cw, cam, scale_modifier)
     backend = cfg.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"

@@ -112,8 +112,12 @@ def preprocess(
     cutoff = jnp.sqrt(2.0 * lam1 * jnp.maximum(ln_term, 0.0))
     radius = jnp.ceil(jnp.minimum(3.0 * jnp.sqrt(lam1), cutoff))
 
-    u = cam.fx * txz + cam.cx
-    v = cam.fy * tyz + cam.cy
+    # Project the center UNCLAMPED: the CUDA 1.3*tan_fov clamp applies only
+    # to the EWA Jacobian inputs; projecting through the clamped ratios would
+    # draw/bin large splats centered beyond the clamp at a displaced center
+    # (ADVICE r1).
+    u = cam.fx * (tx / safe_z) + cam.cx
+    v = cam.fy * (ty / safe_z) + cam.cy
     mean2d = jnp.stack([u, v], axis=-1)
 
     # visible: on-screen rect non-empty (CUDA computes the tile rect and

@@ -42,6 +42,14 @@ class RasterConfig:
     # transmittance is >= 1e-4 (the crossing instance IS applied). Outputs
     # differ by <= 1e-4 in color/alpha — far below photometric noise.
     exact_stop: bool = dataclasses.field(default=True, metadata=dict(static=True))
+    # Chunk steps per while-loop iteration in the Pallas blend kernels.
+    # The ~340ns fixed loop overhead dominates the per-chunk math, so the
+    # inner steps are Python-unrolled; early exit happens at super-chunk
+    # (chunk * chunk_unroll instances) granularity.
+    chunk_unroll: int = dataclasses.field(default=4, metadata=dict(static=True))
+    # bf16 MXU inputs (f32 accumulation) for the triangular transmittance
+    # cumsum matmuls; ~1e-3 relative T error, below sensor noise.
+    blend_bf16: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass

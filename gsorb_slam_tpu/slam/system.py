@@ -134,6 +134,9 @@ class System:
         self._kf_bins_cnt = jnp.zeros((max_keyframes, n_tiles), jnp.int32)
 
         self.keyframes: list[W.KeyFrameMeta] = []
+        self.last_kf: Optional[W.KeyFrameMeta] = None  # most recent KF meta
+        self._kf_created = 0  # monotonic count of keyframes ever created
+        self._last_compact_frame = -1
         self.trajectory: list[FrameRecord] = []
         self.frame_id = 0
         self.last_kf_frame_id = -(10**9)
@@ -170,6 +173,7 @@ class System:
             return T.track_frame(
                 gm, T_init, color, depth, matches, cam, tcfg, rcfg,
                 num_iters=n_iters, bins=bins,
+                scale_modifier=mcfg.scale_modifier,
             )
 
         self._track_jit = jax.jit(_track, static_argnames=("n_iters",))
@@ -211,11 +215,16 @@ class System:
 
     # ------------------------------------------------------------- keyframes
 
-    def _create_keyframe(self, color, depth, T_cw: np.ndarray) -> W.KeyFrameMeta:
-        kf_id = len(self.keyframes)
+    def _create_keyframe(
+        self, color, depth, T_cw: np.ndarray, fe_kf_id: int = -1
+    ) -> W.KeyFrameMeta:
+        kf_id = self._kf_created
         if kf_id >= self.max_keyframes:
-            # Pool full: recycle the oldest non-anchor slot.
-            kf_id = 4 + (len(self.keyframes) % (self.max_keyframes - 4))
+            # Pool full: round-robin over the non-anchor slots, driven by the
+            # MONOTONIC creation counter (len(self.keyframes) saturates at
+            # max_keyframes, which would pin recycling to one slot forever).
+            kf_id = 4 + ((self._kf_created - self.max_keyframes) % (self.max_keyframes - 4))
+        self._kf_created += 1
         ref_pts = W.sample_reference_points(
             np.asarray(depth), self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
             n_points=self.cfg.tracking.n_ref_points, rng=self.rng,
@@ -225,6 +234,7 @@ class System:
             frame_id=self.frame_id,
             T_cw=np.asarray(T_cw, np.float32),
             ref_points_cam=ref_pts,
+            fe_kf_id=fe_kf_id,
         )
         color_u8 = jnp.asarray(
             np.clip(np.asarray(color) * 255.0, 0, 255).astype(np.uint8)
@@ -235,17 +245,30 @@ class System:
             self.keyframes[kf_id] = meta
         else:
             self.keyframes.append(meta)
+        self.last_kf = meta
         self.last_kf_frame_id = self.frame_id
         return meta
 
     def _refresh_kf_bins(self, kf_ids: list[int]) -> None:
-        """Rebuild stale cached bins for up to bins_refresh_per_frame KFs."""
+        """Rebuild stale cached bins.
+
+        Two classes: bins INVALIDATED by a compaction/loop correction
+        (their gaussian indices address permuted rows — consuming them
+        corrupts the window gradients) are rebuilt unconditionally; bins
+        merely OLDER than ``bins_ttl`` refresh round-robin, capped at
+        ``bins_refresh_per_frame`` per frame.
+        """
+        invalid = [
+            i for i in kf_ids
+            if self.keyframes[i].bins_built_at <= self._last_compact_frame
+        ]
         stale = [
             i for i in kf_ids
-            if self.frame_id - self.keyframes[i].bins_built_at > self.bins_ttl
+            if i not in set(invalid)
+            and self.frame_id - self.keyframes[i].bins_built_at > self.bins_ttl
         ]
         stale.sort(key=lambda i: self.keyframes[i].bins_built_at)
-        for i in stale[: self.bins_refresh_per_frame]:
+        for i in invalid + stale[: self.bins_refresh_per_frame]:
             kf = self.keyframes[i]
             bins = self._bin_jit(self.gm, jnp.asarray(kf.T_cw))
             self._kf_bins_idx = self._kf_bins_idx.at[i].set(bins.indices)
@@ -261,16 +284,23 @@ class System:
     def _sync_frontend_poses(self) -> None:
         """Propagate BA-refined keyframe poses from the geometric front-end
         into the rendering-side keyframe metas (the shared-Map coupling:
-        Render's window selection reads BA'd poses, src/Render.cc:353-367)."""
+        Render's window selection reads BA'd poses, src/Render.cc:353-367).
+
+        Metas link to front-end keyframes via ``fe_kf_id`` — pool slot ids
+        recycle after ``max_keyframes`` while front-end ids grow monotonically,
+        so positional indexing would silently mis-pair after the pool wraps.
+        """
         if self.fe is None:
             return
         adjusted = set(getattr(self.fe, "last_adjusted", []) or [])
-        for fe_kf in self.fe.keyframes:
-            if fe_kf.kf_id < len(self.keyframes):
-                meta = self.keyframes[fe_kf.kf_id]
-                meta.T_cw = fe_kf.T_cw
-                if fe_kf.kf_id in adjusted:
-                    meta.rendered_num += 1
+        by_fe_id = {fe_kf.kf_id: fe_kf for fe_kf in self.fe.keyframes}
+        for meta in self.keyframes:
+            fe_kf = by_fe_id.get(meta.fe_kf_id)
+            if fe_kf is None:
+                continue
+            meta.T_cw = np.asarray(fe_kf.T_cw, np.float32)
+            if fe_kf.kf_id in adjusted:
+                meta.rendered_num += 1
 
     def _maybe_close_loop(self, fe_kf) -> None:
         """LoopClosing::Run equivalent, invoked per keyframe (src/LoopClosing.cc)."""
@@ -341,7 +371,9 @@ class System:
 
         if self.frame_id == 0:
             T_cw = np.eye(4, dtype=np.float32)
-            self._initialize(color, d, T_cw)
+            self._initialize(
+                color, d, T_cw, fe_kf_id=0 if self.fe is not None else -1
+            )
         else:
             T_cw = self._track_and_map(color, d, matches, fe_res, depth_np)
 
@@ -351,7 +383,7 @@ class System:
         self.frame_id += 1
         return T_cw
 
-    def _initialize(self, color, depth, T_cw: np.ndarray):
+    def _initialize(self, color, depth, T_cw: np.ndarray, fe_kf_id: int = -1):
         """Frame 0: dense seed + warm-up (``StereoInitialization`` ->
         ``Render::InitWorld``, ``src/Tracking.cc:741-830``)."""
         t0 = time.perf_counter()
@@ -372,8 +404,8 @@ class System:
             self.gm, frames, sub,
             n_iters=self.cfg.mapping.init_iters, init_mode=True,
         )
-        self._create_keyframe(color, depth, T_cw)
-        self._refresh_kf_bins([self.keyframes[-1].kf_id])
+        self._create_keyframe(color, depth, T_cw, fe_kf_id=fe_kf_id)
+        self._refresh_kf_bins([self.last_kf.kf_id])
         self.timings["map"] += time.perf_counter() - t0
         self.timings["n_map"] += 1
         self.trajectory.append(
@@ -418,24 +450,30 @@ class System:
         self.velocity = (T_cw @ np.linalg.inv(self.last_T_cw)).astype(np.float32)
 
         # Keyframe decision: novel-view overlap OR max-gap OR weak ORB
-        # tracking (the c1c/c2 inlier gates, simplified).
-        ref_kf = self.keyframes[-1] if self.keyframes else None
+        # tracking (the c1c/c2 inlier gates, simplified). Zero inliers is the
+        # WEAKEST tracking, so the gate is n_inliers < 40 — not 0 < n < 40.
+        ref_kf = self.last_kf
         is_kf = False
         if ref_kf is not None:
             novel = W.need_new_keyframe_visual(
                 ref_kf, T_cw, self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
                 self.cam.width, self.cam.height, cfg.tracking.overlap_threshold,
             )
-            weak_orb = fe_res is not None and 0 < fe_res.n_inliers < 40
+            weak_orb = fe_res is not None and fe_res.n_inliers < 40
             is_kf = novel or weak_orb or (
                 self.frame_id - self.last_kf_frame_id >= self.max_frames_between_kf
             )
         if is_kf:
-            self._create_keyframe(color, depth, T_cw)
+            fe_kf = None
             if self.fe is not None and fe_res is not None:
                 fe_kf = self.fe.create_keyframe(
                     fe_res.feats, depth_np, T_cw, self.frame_id
                 )
+            self._create_keyframe(
+                color, depth, T_cw,
+                fe_kf_id=fe_kf.kf_id if fe_kf is not None else -1,
+            )
+            if fe_kf is not None:
                 self._sync_frontend_poses()
                 self._maybe_close_loop(fe_kf)
 
@@ -443,10 +481,15 @@ class System:
         # Periodic prune (mask-only: cached bins stay valid).
         if self.frame_id % cfg.mapping.prune_every == 0:
             self.gm = M.prune_map(self.gm, cfg.mapping)
-        # Near-capacity compaction invalidates cached bins.
+        # Near-capacity compaction permutes splat rows: every cached bin AND
+        # the bins built above at T_init are stale afterwards — rebuild
+        # before any further render (ADVICE r1: stale bins corrupted the
+        # densify mask and window gradients whenever compaction fired).
         if int(self.gm.count) > 0.9 * self.gm.capacity:
             self.gm = compact(self.gm)
             self._invalidate_all_bins()
+            self._last_compact_frame = self.frame_id
+            bins = self._bin_jit(self.gm, jnp.asarray(T_cw))
 
         # Render at tracked pose (reusing tracking bins) for densification.
         out = self._render_jit(self.gm, jnp.asarray(T_cw), bins)
@@ -659,14 +702,19 @@ class System:
             "last_kf_frame_id": self.last_kf_frame_id,
             "velocity": self.velocity,
             "last_T_cw": self.last_T_cw,
+            "kf_created": self._kf_created,
+            "last_kf_id": self.last_kf.kf_id if self.last_kf is not None else -1,
+            "loop_events": self.loop_events,
             "keyframes": [
                 dict(
                     kf_id=kf.kf_id, frame_id=kf.frame_id, T_cw=kf.T_cw,
                     ref_points_cam=kf.ref_points_cam,
                     rendered_num=kf.rendered_num,
+                    fe_kf_id=kf.fe_kf_id,
                 )
                 for kf in self.keyframes
             ],
+            "frontend": self._frontend_state(),
             "trajectory": [
                 dict(
                     frame_id=r.frame_id, timestamp=r.timestamp, T_cw=r.T_cw,
@@ -683,6 +731,75 @@ class System:
             colors=np.asarray(self._kf_colors),
             depths=np.asarray(self._kf_depths),
         )
+
+    def _frontend_state(self) -> Optional[dict]:
+        """Serializable geometric-frontend + loop-closer state (an orb-mode
+        resume without it silently continues with an empty geometric map —
+        ADVICE r1)."""
+        fe = self.fe
+        if fe is None:
+            return None
+        n = fe.n_points
+        feats_np = lambda f: {
+            k: np.asarray(v) for k, v in f._asdict().items()
+        }
+        state = {
+            "n_points": n,
+            "pt_pos": fe.pt_pos[:n].copy(),
+            "pt_desc": fe.pt_desc[:n].copy(),
+            "pt_valid": fe.pt_valid[:n].copy(),
+            "pt_visible": fe.pt_visible[:n].copy(),
+            "pt_found": fe.pt_found[:n].copy(),
+            "pt_first_kf": fe.pt_first_kf[:n].copy(),
+            "kf_counter": fe.kf_counter,
+            "keyframes": [
+                dict(
+                    kf_id=kf.kf_id, frame_id=kf.frame_id,
+                    feats=feats_np(kf.feats),
+                    point_ids=kf.point_ids.copy(), T_cw=kf.T_cw.copy(),
+                )
+                for kf in fe.keyframes
+            ],
+        }
+        if self.loop_closer is not None:
+            db = self.loop_closer.db
+            state["loop_db"] = {
+                "inverted": {w: sorted(s) for w, s in db.inverted.items()},
+                "bows": db.bows,
+                "consistency": self.loop_closer.consistency,
+            }
+        return state
+
+    def _restore_frontend(self, state: Optional[dict]) -> None:
+        from gsorb_slam_tpu.frontend.orb import ORBFeatures
+        from gsorb_slam_tpu.slam.geometric import KeyFrameFeatures
+
+        fe = self.fe
+        if fe is None or state is None:
+            return
+        n = state["n_points"]
+        fe.n_points = n
+        for name in ("pt_pos", "pt_desc", "pt_valid", "pt_visible",
+                     "pt_found", "pt_first_kf"):
+            getattr(fe, name)[:n] = state[name]
+        fe.kf_counter = state["kf_counter"]
+        fe.keyframes = [
+            KeyFrameFeatures(
+                kf_id=d["kf_id"], frame_id=d["frame_id"],
+                feats=ORBFeatures(
+                    **{k: jnp.asarray(v) for k, v in d["feats"].items()}
+                ),
+                point_ids=d["point_ids"], T_cw=d["T_cw"],
+            )
+            for d in state["keyframes"]
+        ]
+        if self.loop_closer is not None and "loop_db" in state:
+            db = self.loop_closer.db
+            db.inverted = {
+                w: set(s) for w, s in state["loop_db"]["inverted"].items()
+            }
+            db.bows = state["loop_db"]["bows"]
+            self.loop_closer.consistency = state["loop_db"]["consistency"]
 
     def load_checkpoint(self, path: str) -> None:
         """Restore a :meth:`save_checkpoint` state and continue tracking."""
@@ -708,14 +825,24 @@ class System:
         self.last_kf_frame_id = meta["last_kf_frame_id"]
         self.velocity = meta["velocity"]
         self.last_T_cw = meta["last_T_cw"]
+        self._kf_created = meta.get("kf_created", len(meta["keyframes"]))
+        self.loop_events = meta.get("loop_events", [])
         self.keyframes = [
             W.KeyFrameMeta(
                 kf_id=d["kf_id"], frame_id=d["frame_id"], T_cw=d["T_cw"],
                 ref_points_cam=d["ref_points_cam"],
                 rendered_num=d["rendered_num"],
+                fe_kf_id=d.get("fe_kf_id", -1),
             )
             for d in meta["keyframes"]
         ]
+        last_kf_id = meta.get("last_kf_id", -1)
+        self.last_kf = (
+            self.keyframes[last_kf_id]
+            if 0 <= last_kf_id < len(self.keyframes)
+            else (self.keyframes[-1] if self.keyframes else None)
+        )
+        self._restore_frontend(meta.get("frontend"))
         self.trajectory = [
             FrameRecord(
                 frame_id=d["frame_id"], timestamp=d["timestamp"], T_cw=d["T_cw"],

@@ -109,8 +109,14 @@ def track_frame(
     rcfg: RasterConfig,
     num_iters: int | None = None,
     bins: TileBins | None = None,
+    scale_modifier: float = 1.0,
 ) -> TrackResult:
-    """Optimize the camera pose of one frame against the current map."""
+    """Optimize the camera pose of one frame against the current map.
+
+    ``scale_modifier`` must match the mapping-side setting so tracking
+    renders the same splat sizes the map was optimized with
+    (``Render.cc:797`` passes ``_scaleModifier`` to BOTH paths — ADVICE r1).
+    """
     num_iters = int(num_iters or tcfg.num_iters)
     quat0, trans0 = matrix_to_pose(T_cw_init)
     ps0 = init_pose_state(quat0, trans0)
@@ -118,7 +124,7 @@ def track_frame(
     if bins is None:
         prep0 = preprocess(
             gm.means, gm.rgb, gm.quats, gm.logit_opacities, gm.log_scales,
-            gm.active, jax.lax.stop_gradient(T_cw_init), cam,
+            gm.active, jax.lax.stop_gradient(T_cw_init), cam, scale_modifier,
         )
         bins = bin_gaussians(prep0, cam, rcfg)
 
@@ -134,7 +140,9 @@ def track_frame(
 
     def loss_fn(quat, trans, inlier_mask):
         T_cw = pose_to_matrix(quat, trans)
-        out = render_instances(raw, bins.counts, T_cw, cam, rcfg)
+        out = render_instances(
+            raw, bins.counts, T_cw, cam, rcfg, scale_modifier=scale_modifier
+        )
         mask = (out.alpha > 0.99) & (gt_depth > 0)
         mask = jax.lax.stop_gradient(mask)
         image_l1 = l1_tracking(out.color, gt_color, mask)

@@ -33,8 +33,9 @@ class KeyFrameMeta:
     T_cw: np.ndarray  # [4, 4]
     ref_points_cam: np.ndarray  # [n_ref, 4] camera-frame homogeneous
     rendered_num: int = 0  # local-BA touch counter (KeyFrame::mRenderedNum)
-    bins_built_at: int = -1  # frame id when cached tile bins were last built
+    bins_built_at: int = -(10**9)  # frame id when cached tile bins were last built
     is_bad: bool = False
+    fe_kf_id: int = -1  # geometric-frontend keyframe id (monotonic; -1 none)
 
     @property
     def T_wc(self) -> np.ndarray:

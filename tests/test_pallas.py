@@ -6,6 +6,10 @@ against the dense oracle in test_raster.py, closing the chain
 oracle == XLA == Pallas for outputs and gradients.
 """
 
+# Tolerances: the Pallas kernels carry transmittance in log space and
+# evaluate the Gaussian falloff through a polynomial pixel basis (MXU
+# matmuls), so outputs differ from the direct-product XLA blend by ~1e-5
+# f32 accumulation noise.
 import dataclasses
 
 import jax
@@ -36,11 +40,11 @@ def test_pallas_forward_matches_tiled(rng):
     bins = bin_gaussians(prep, cam, CFG)
     ref = render_tiled(prep, bins, cam, CFG)
     out = render_pallas(prep, bins, cam, CFG, interpret=True)
-    np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color), atol=5e-5)
     np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(out.alpha), np.asarray(ref.alpha), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.alpha), np.asarray(ref.alpha), atol=5e-5)
     np.testing.assert_allclose(
-        np.asarray(out.final_t), np.asarray(ref.final_t), atol=1e-5
+        np.asarray(out.final_t), np.asarray(ref.final_t), atol=5e-5
     )
     np.testing.assert_allclose(
         np.asarray(out.median_depth), np.asarray(ref.median_depth), atol=1e-4
@@ -57,9 +61,9 @@ def test_pallas_forward_opaque_early_exit_path(rng):
     bins = bin_gaussians(prep, cam, CFG)
     ref = render_tiled(prep, bins, cam, CFG)
     out = render_pallas(prep, bins, cam, CFG, interpret=True)
-    np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color), atol=5e-5)
     np.testing.assert_allclose(
-        np.asarray(out.final_t), np.asarray(ref.final_t), atol=1e-5
+        np.asarray(out.final_t), np.asarray(ref.final_t), atol=5e-5
     )
 
 
