@@ -38,7 +38,7 @@ def main() -> None:
 
     cam = Camera(fx=517.3, fy=516.5, cx=318.6, cy=255.3, width=W, height=H)
     rcfg = RasterConfig(
-        tile=16, tile_capacity=1024, max_dup=16, chunk=128, dilate_px=8.0,
+        tile=16, tile_capacity=1024, max_dup=16, chunk=256, dilate_px=4.0,
         exact_stop=False,  # production default (deviation <= 1e-4)
     )
     tcfg = TrackingConfig(num_iters=ITERS, early_stop_delta=0.0)
