@@ -90,6 +90,37 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     iters_per_sec = ITERS / best
 
+    # Secondary metric: mapping (splat-parameter) optimization iterations —
+    # the full map_window step: pack gather + blend fwd/bwd + per-Gaussian
+    # scatter-add + masked Adam, the envelope of Render::RenderForFrame
+    # (src/Render.cc:402-493).
+    from gsorb_slam_tpu.core.config import MappingConfig
+    from gsorb_slam_tpu.slam.mapping import WindowFrames, map_window
+
+    mcfg = MappingConfig()
+    MAP_ITERS = 20
+    frames = WindowFrames(
+        colors=gt_color[None],
+        depths=gt_depth[None],
+        poses=T_gt[None],
+        bins_indices=bins.indices[None],
+        bins_counts=bins.counts[None],
+        n_frames=jnp.asarray(1, jnp.int32),
+    )
+    map_run = jax.jit(
+        lambda gm, key: map_window(
+            gm, frames, key, cam, mcfg, rcfg, num_iters=MAP_ITERS
+        )[0].means
+    )
+    key = jax.random.PRNGKey(0)
+    jax.block_until_ready(map_run(gm, key))
+    best_m = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(map_run(gm, key))
+        best_m = min(best_m, time.perf_counter() - t0)
+    map_iters_per_sec = MAP_ITERS / best_m
+
     baseline = 250.0
     print(
         json.dumps(
@@ -98,6 +129,7 @@ def main() -> None:
                 "value": round(iters_per_sec, 2),
                 "unit": "iters/s",
                 "vs_baseline": round(iters_per_sec / baseline, 3),
+                "mapping_iters_per_sec": round(map_iters_per_sec, 2),
             }
         )
     )

@@ -6,10 +6,11 @@ TPU-native replacement for the CUDA pipeline's
 
 1. per-Gaussian tile rect (clamped to ``max_dup`` tiles) -> up to ``max_dup``
    (tile, depth, gaussian) instances each,
-2. stream-compact valid instances into a static ``instance_budget`` buffer
-   (cumsum + scatter — no atomics needed),
-3. ONE ``lax.sort`` with lexicographic (tile, depth) keys,
-4. per-tile ranges via ``searchsorted``, then a gather into fixed-capacity
+2. ONE ``lax.sort`` with lexicographic (tile, depth) keys over all C*D
+   candidates (invalid slots carry a sentinel tile and sort to the tail —
+   no compaction pass; scatter-based stream compaction measured 4x the
+   cost of simply sorting the full candidate array),
+3. per-tile ranges via ``searchsorted``, then a gather into fixed-capacity
    per-tile index lists.
 
 Cost model (why this differs from CUDA): ``lax.sort`` on TPU costs ~10ms/M
@@ -83,14 +84,12 @@ def bin_gaussians(
     prep: Preprocessed,
     cam: Camera,
     cfg: RasterConfig,
-    instance_budget: int | None = None,
+    instance_budget: int | None = None,  # kept for API compat; unused
 ) -> TileBins:
     C = prep.depth.shape[0]
     ty, tx = tile_grid_shape(cam, cfg)
     n_tiles = ty * tx
     D = cfg.max_dup
-    if instance_budget is None:
-        instance_budget = min(C * D, max(4 * C, 1 << 20))
 
     sx, sy, cw, ch = gaussian_tile_rect(prep, cam, cfg)
 
@@ -115,29 +114,19 @@ def bin_gaussians(
     dup_ok = dup_ok & (du * du + dv * dv <= rr * rr)
     tile_id = jnp.where(dup_ok, tile_y * tx + tile_x, n_tiles).astype(jnp.int32)
 
-    # --- stream-compact valid instances into the static budget buffer ---
-    flat_ok = dup_ok.reshape(-1)
+    # --- one lexicographic (tile, depth) sort over ALL C*D candidates =
+    # CUDA's 64-bit-key radix sort (invalid slots carry the sentinel tile
+    # n_tiles and sort to the tail). Sorting the full candidate array beats
+    # the r1 stream-compaction: the cumsum+three-scatter compaction alone
+    # cost ~40ms at VGA scale vs ~10ms for this sort.
     flat_tile = tile_id.reshape(-1)
     flat_gid = jnp.broadcast_to(
         jnp.arange(C, dtype=jnp.int32)[:, None], (C, D)
     ).reshape(-1)
-    pos = jnp.cumsum(flat_ok.astype(jnp.int32)) - 1
-    dest = jnp.where(flat_ok, pos, instance_budget)  # OOB -> dropped
-    n_valid = pos[-1] + 1
-    n_over_budget = jnp.maximum(n_valid - instance_budget, 0)
-
-    buf_tile = jnp.full((instance_budget,), n_tiles, jnp.int32).at[dest].set(
-        flat_tile, mode="drop"
-    )
-    buf_gid = jnp.zeros((instance_budget,), jnp.int32).at[dest].set(
-        flat_gid, mode="drop"
-    )
-    buf_depth = jnp.full((instance_budget,), jnp.inf, jnp.float32).at[dest].set(
-        jnp.broadcast_to(prep.depth[:, None], (C, D)).reshape(-1), mode="drop"
-    )
-
-    # --- one lexicographic (tile, depth) sort = CUDA's 64-bit key radix sort ---
-    s_tile, _, s_gid = jax.lax.sort([buf_tile, buf_depth, buf_gid], num_keys=2)
+    flat_depth = jnp.where(
+        dup_ok, jnp.broadcast_to(prep.depth[:, None], (C, D)), jnp.inf
+    ).reshape(-1)
+    s_tile, _, s_gid = jax.lax.sort([flat_tile, flat_depth, flat_gid], num_keys=2)
 
     # --- per-tile ranges (identifyTileRanges equivalent) ---
     tid = jnp.arange(n_tiles, dtype=jnp.int32)
@@ -151,9 +140,7 @@ def bin_gaussians(
     live = k[None, :] < counts[:, None]
     idx = jnp.where(
         live,
-        s_gid[jnp.minimum(gather_pos, instance_budget - 1)],
+        s_gid[jnp.minimum(gather_pos, C * D - 1)],
         -1,
     )
-    return TileBins(
-        indices=idx, counts=counts, n_dropped=n_over_budget + n_over_cap
-    )
+    return TileBins(indices=idx, counts=counts, n_dropped=n_over_cap)

@@ -70,7 +70,7 @@ def preprocess_instances(
     scale_modifier: float = 1.0,
 ) -> jnp.ndarray:
     """Per-instance EWA projection -> the blend kernel's packed screen layout
-    [T, 12, cap]. Same math as :func:`raster.preprocess.preprocess`
+    [T, 16, cap]. Same math as :func:`raster.preprocess.preprocess`
     (``forward.cu:74-256``), expressed on instance rows."""
     g = lambda r: raw[:, r, :]  # [T, cap]
     x, y, z3 = g(0), g(1), g(2)
@@ -153,6 +153,7 @@ def preprocess_instances(
     valid = (live > 0.5) & in_front & det_ok
     vf = valid.astype(jnp.float32)
 
+    zero = jnp.zeros_like(vf)
     rows = [
         u,
         v,
@@ -167,13 +168,13 @@ def preprocess_instances(
         b_,
         jnp.where(valid, tz_, 0.0),
         vf,
-        jnp.zeros_like(vf),
+        zero, zero, zero, zero, zero,
     ]
-    return jnp.stack(rows, axis=1)  # [T, 12, cap]
+    return jnp.stack(rows, axis=1)  # [T, 16, cap]
 
 
 def blend_packed_xla(
-    packed: jnp.ndarray,  # [T, 12, cap] screen rows (pallas_raster layout)
+    packed: jnp.ndarray,  # [T, 16, cap] screen rows (pallas_raster layout)
     counts: jnp.ndarray,
     cam: Camera,
     cfg: RasterConfig,
@@ -241,9 +242,10 @@ def blend_packed_xla(
         done = done | jnp.any(crosses, axis=-1)
         return (T, C, Dd, S, Med, done), None
 
+    n_attr = packed.shape[1]
     resh_p = jnp.moveaxis(
-        packed.reshape(n_tiles, 12, n_chunks, K), 2, 0
-    )  # [n_chunks, T, 12, K]
+        packed.reshape(n_tiles, n_attr, n_chunks, K), 2, 0
+    )  # [n_chunks, T, n_attr, K]
     resh_l = jnp.moveaxis(k_live.reshape(n_tiles, n_chunks, K), 1, 0)
     init = (
         jnp.ones((n_tiles, px), jnp.float32),

@@ -57,7 +57,9 @@ STOP_T = 1e-4
 # (dead instances blend with alpha exactly 0), so the kernels never touch
 # the _LIVE row — it is kept for the XLA fallback path.
 _MU, _MV, _CA, _CB, _CC, _OP, _R, _G, _B, _Z, _LIVE = range(11)
-N_ATTR = 12  # padded to a friendly sublane count
+N_ATTR = 16  # padded to a full f32 sublane tile (8|16): the pack gather and
+#   the instance-grad rows then move 64B-aligned rows, and the kernel's
+#   attribute slab stays tileable.
 
 # instance-gradient columns
 _N_GRAD = 10  # d_mu, d_mv, d_ca, d_cb, d_cc, d_op, d_r, d_g, d_b, d_z
@@ -95,14 +97,82 @@ def _tri(K: int, strict_lower: bool, dtype) -> jnp.ndarray:
     return ((r > c) if strict_lower else (r < c)).astype(dtype)
 
 
+# TPU MXU caveat: preferred_element_type=f32 alone still rounds the INPUTS
+# to bf16 at DEFAULT precision. The polynomial-basis matmul reconstructs
+# ln(alpha) from cancelling terms of magnitude O(100-1000), so bf16 input
+# rounding injects O(1) absolute error into the exponent (r2 bug: compiled
+# renders diverged 0.65 in color from the XLA blend while CPU tests passed).
+# All kernel contractions therefore request full-f32 passes explicitly;
+# the opt-in dims.bf16 mode keeps the cumsum/suffix matmuls in bf16 (their
+# operands are O(1) log-transmittances — bounded relative error, no
+# cancellation).
+_PREC = jax.lax.Precision.HIGHEST
+
+
+# bf16-operand dots must PIN precision=DEFAULT: a global
+# jax_default_matmul_precision=highest would otherwise upgrade them to an
+# fp32 contract over bf16 vectors, which Mosaic rejects ("Bad lhs type").
+_DEF = jax.lax.Precision.DEFAULT
+
+
 def _mm(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    if a.dtype == jnp.bfloat16 or b.dtype == jnp.bfloat16:
+        return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=_DEF)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=_PREC)
+
+
+def _mm_split2(a: jnp.ndarray, b_exact: jnp.ndarray) -> jnp.ndarray:
+    """a @ b via a 2-pass manual bf16 split of ``a`` against a ``b`` whose
+    bf16 cast is EXACT (0/1 triangular masks; the integer pixel basis).
+
+    The MXU accumulates in f32, so with b exact the only error is the
+    16-bit truncation of ``a`` — ~2^-16 relative, ample for same-signed
+    log-transmittance sums — at 2 bf16 passes instead of HIGHEST's 6.
+    """
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    bb = b_exact.astype(jnp.bfloat16)
+    return jnp.dot(hi, bb, preferred_element_type=jnp.float32, precision=_DEF) + jnp.dot(
+        lo, bb, preferred_element_type=jnp.float32, precision=_DEF
+    )
+
+
+def _mm_split2_rev(a_exact: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a @ b with ``a`` exact in bf16 and ``b`` 2-pass split."""
+    hi = b.astype(jnp.bfloat16)
+    lo = (b - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    aa = a_exact.astype(jnp.bfloat16)
+    return jnp.dot(aa, hi, preferred_element_type=jnp.float32, precision=_DEF) + jnp.dot(
+        aa, lo, preferred_element_type=jnp.float32, precision=_DEF
+    )
+
+
+def _dg00_split(a: jnp.ndarray, b_exact: jnp.ndarray, passes: int = 3) -> jnp.ndarray:
+    """dot_general contracting dim 0 of both, via a ``passes``-way manual
+    bf16 split of ``a`` against an exactly-bf16-representable ``b`` (the
+    integer pixel basis: with tile=16 its entries are integers <= 225 —
+    exact in bf16's 8 mantissa bits). 3 passes give ~f24 products — enough
+    for the cancelling O(1000) terms of ln(alpha) — at half HIGHEST's cost
+    (Mosaic has no native bf16x3 Precision.HIGH lowering)."""
+    bb = b_exact.astype(jnp.bfloat16)
+    resid = a
+    acc = None
+    for _ in range(passes):
+        part = resid.astype(jnp.bfloat16)
+        resid = resid - part.astype(jnp.float32)
+        term = jax.lax.dot_general(
+            part, bb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_DEF,
+        )
+        acc = term if acc is None else acc + term
+    return acc
 
 
 def _mm_t(a, b):
     """Contraction over the LAST dim of both: [m, k] x [n, k] -> [m, n]."""
     return jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=_PREC,
     )
 
 
@@ -136,10 +206,7 @@ def _chunk_common(chunk, tri_l, pbas, T_in, done, ox, oy, dims: _Dims):
     grows = jnp.concatenate(
         [g0, g1, g2, g3, g4, g5, jnp.zeros((2, chunk.shape[1]), jnp.float32)], 0
     )  # [8, K]
-    ln_alpha = jax.lax.dot_general(
-        grows, pbas, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [K, px]
+    ln_alpha = _dg00_split(grows, pbas)  # [K, px]
     # The only per-instance columns the [K, px] math needs: ln(op) and z.
     bundle = jnp.concatenate([ln_op, z], 0).T  # [K, 2]
     lnop_c = bundle[:, 0:1]
@@ -153,13 +220,15 @@ def _chunk_common(chunk, tri_l, pbas, T_in, done, ox, oy, dims: _Dims):
     if dims.bf16:
         cum_excl = _mm(tri_l, s.astype(jnp.bfloat16))
     else:
-        cum_excl = _mm(tri_l, s)
+        cum_excl = _mm_split2_rev(tri_l, s)
     T_pref = T_in * jnp.exp(cum_excl)  # [K, px]
     one_minus = 1.0 - alpha
     if dims.exact:
         crosses = contrib & (T_pref * one_minus < STOP_T)
-        cf = crosses.astype(tri_l.dtype)
-        blocked = (_mm(tri_l, cf) + cf) > 0.5  # inclusive cumulative any
+        cf = crosses.astype(jnp.bfloat16)
+        blocked = (
+            _mm(tri_l.astype(jnp.bfloat16), cf) + cf.astype(jnp.float32)
+        ) > 0.5  # inclusive cumulative any (0/1 operands: bf16 is exact)
         apply = contrib & jnp.logical_not(blocked)
         done_extra = jnp.any(crosses, axis=0, keepdims=True)
     else:
@@ -223,7 +292,7 @@ def _fwd_kernel(
             onehot = ((k_iota + 1) == last).astype(jnp.float32)
             z_sel = jax.lax.dot_general(
                 row(_Z), onehot, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=_PREC,
             )  # [1, px]
             acc = acc + accum
             acc = jnp.concatenate(
@@ -295,13 +364,13 @@ def _bwd_kernel(
         # phi[k, p] = gCr*r_k + gCg*g_k + gCb*b_k + gD*z_k + gS
         phi = jax.lax.dot_general(
             A5, G5, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_PREC,
         )  # [K, px]
         wphi = w * phi
         if dims.bf16:
             suffix = _mm(utri_ref[...], wphi.astype(jnp.bfloat16)) + R
         else:
-            suffix = _mm(utri_ref[...], wphi) + R
+            suffix = _mm_split2_rev(utri_ref[...], wphi) + R
         one_minus = jnp.maximum(1.0 - alpha, 1e-6)
         d_alpha = jnp.where(apply, T_pref * phi - suffix / one_minus, 0.0)
         # alpha = min(0.99, op * exp(power)); grad gated off when clamped.
@@ -311,11 +380,11 @@ def _bwd_kernel(
         # Srows[b] = sum_px d_power * basis_b  (rows 6,7 of pbas are zero).
         Srows = jax.lax.dot_general(
             pbas_ref[...], d_power, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_PREC,
         )  # [8, K]
         WGrows = jax.lax.dot_general(
             G5, w, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=_PREC,
         )  # [5, K]: sum_px w * dL/d{Cr,Cg,Cb,D,(S)}
         S0 = Srows[0:1, :]
         S1u = Srows[1:2, :]
@@ -365,12 +434,18 @@ def _bwd_kernel(
 def _pack_instances(prep: Preprocessed, bins: TileBins) -> jnp.ndarray:
     """Gather per-tile instance attributes into [T, N_ATTR, cap] (XLA).
 
-    ONE row gather of a pre-packed [C, N_ATTR] matrix (48B contiguous per
-    instance) — 12 separate element gathers cost ~115ms at VGA scale vs
-    ~10ms for the row gather.
+    ONE row gather of a pre-packed [C+1, 16] matrix (64B-aligned rows; 12
+    separate element gathers cost ~115ms at VGA scale, the aligned row
+    gather ~13ms). Padding entries (``bins.indices == -1``) are redirected
+    to a zero SENTINEL row (row C) instead of masked after the fact — the
+    r1 implementation's three post-gather ``.at[:, :, k].multiply`` passes
+    over the [T, cap, 12] slab cost ~20ms/iter on their own. Dead rows
+    blend with opacity exactly 0, which is all the kernels gate on.
     """
     T, cap = bins.indices.shape
+    C = prep.depth.shape[0]
     vf = prep.valid.astype(jnp.float32)
+    z = jnp.zeros_like(prep.opacity)
     cols = jnp.stack(
         [
             prep.mean2d[:, 0],
@@ -384,19 +459,15 @@ def _pack_instances(prep: Preprocessed, bins: TileBins) -> jnp.ndarray:
             prep.color[:, 2],
             jnp.where(prep.valid, prep.depth, 0.0),
             vf,
-            jnp.zeros_like(prep.opacity),
+            z, z, z, z, z,
         ],
         axis=1,
-    )  # [C, N_ATTR]
-    idx = jnp.maximum(bins.indices, 0)
-    rows = cols[idx.reshape(-1)].reshape(T, cap, N_ATTR)
-    # Fold the per-tile count into the live AND opacity columns
-    # (elementwise, no gather) — the kernels gate purely on opacity.
+    )  # [C, N_ATTR=16]
+    cols = jnp.concatenate([cols, jnp.zeros((1, N_ATTR), jnp.float32)], axis=0)
     k = jnp.arange(cap, dtype=jnp.int32)
-    live = (k[None, :] < bins.counts[:, None]).astype(jnp.float32)
-    rows = rows.at[:, :, _LIVE].multiply(live)
-    rows = rows.at[:, :, _OP].multiply(live)
-    rows = rows.at[:, :, _Z].multiply(live)
+    dead = (bins.indices < 0) | (k[None, :] >= bins.counts[:, None])
+    idx = jnp.where(dead, C, bins.indices)
+    rows = cols[idx.reshape(-1)].reshape(T, cap, N_ATTR)
     return jnp.swapaxes(rows, 1, 2)  # [T, N_ATTR, cap]
 
 
@@ -562,6 +633,297 @@ def blend_and_untile(
         final_t=Tf,
         radii=radii if radii is not None else jnp.zeros((packed.shape[0],)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused tracking step: forward + loss + cotangents + backward in ONE launch.
+#
+# The split fwd/bwd pair above re-runs the whole per-chunk forward math in
+# the backward (the CUDA kernel does the same: backward.cu:399 reconstructs
+# T back-to-front) and round-trips per-chunk transmittance through HBM. For
+# TRACKING the loss is tile-local (masked L1 sums, src/Render.cc:1096 —
+# mask = rendered-alpha > 0.99 & gt-depth > 0, reductions are SUMS), so the
+# entire iteration collapses into one kernel: phase A runs the forward and
+# keeps per-chunk (applied-alpha, prefix-transmittance) slabs in VMEM
+# scratch, the cotangent block derives the per-pixel L1 signs from the
+# finished accumulators and the gt tile, and phase B walks the chunks
+# backward reusing the stored slabs — no recompute, no residual traffic,
+# no separate XLA loss/cotangent program.
+# ---------------------------------------------------------------------------
+
+
+def _fused_track_kernel(
+    counts_ref, packed_ref, gt_ref, grad_ref, loss_ref,
+    alpha_scr, tpref_scr, acc_ref, pbas_ref, tri_ref, utri_ref,
+    *, dims: _Dims, im_w: float, depth_w: float, use_sur: bool,
+):
+    t = pl.program_id(0)
+    count = counts_ref[t]
+    px, K, U = dims.px, dims.K, dims.unroll
+    ox = ((t % dims.tx) * dims.ts).astype(jnp.float32)
+    oy = ((t // dims.tx) * dims.ts).astype(jnp.float32)
+
+    pbas_ref[...] = _pixel_basis(dims, t)
+    tri_ref[...] = _tri(K, True, tri_ref.dtype)
+    utri_ref[...] = _tri(K, False, utri_ref.dtype)
+
+    acc_ref[...] = jnp.zeros((8, px), jnp.float32)
+    acc_ref[6, :] = jnp.ones((px,), jnp.float32)
+
+    n_chunks_live = jnp.minimum((count + K - 1) // K, dims.n_chunks).astype(jnp.int32)
+    n_super = (n_chunks_live + U - 1) // U
+
+    # ---- phase A: forward, stashing per-chunk residuals in VMEM ----
+    def cond(sc):
+        return (sc < n_super) & (jnp.sum(acc_ref[7, :]) < px - 0.5)
+
+    def body(sc):
+        acc = acc_ref[0:6, :]
+        T = acc_ref[6:7, :]
+        done = acc_ref[7:8, :] > 0.5
+        for j in range(U):
+            c = sc * U + j
+            chunk = packed_ref[0, :, pl.ds(c * K, K)]
+            _b, alpha, _unc, apply, T_pref, w, T_out, done_out = _chunk_common(
+                chunk, tri_ref[...], pbas_ref[...], T, done, ox, oy, dims
+            )
+            alpha_scr[pl.ds(c * K, K), :] = jnp.where(apply, alpha, 0.0)
+            tpref_scr[pl.ds(c * K, K), :] = T_pref
+            row = lambda r: chunk[r : r + 1, :]
+            ones = jnp.ones((1, K), jnp.float32)
+            A6 = jnp.concatenate(
+                [row(_R), row(_G), row(_B), row(_Z), ones,
+                 jnp.zeros((1, K), jnp.float32)], 0
+            )
+            accum = _mm(A6, w)
+            k_iota = jax.lax.broadcasted_iota(jnp.int32, (K, px), 0)
+            is_med = apply & (T_pref > 0.5)
+            last = jnp.max(jnp.where(is_med, k_iota + 1, 0), axis=0, keepdims=True)
+            onehot = ((k_iota + 1) == last).astype(jnp.float32)
+            z_sel = jax.lax.dot_general(
+                row(_Z), onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PREC,
+            )
+            acc = acc + accum
+            acc = jnp.concatenate(
+                [acc[0:5, :], jnp.where(last > 0, z_sel, acc[5:6, :])], 0
+            )
+            T, done = T_out, done_out
+        acc_ref[0:6, :] = acc
+        acc_ref[6:7, :] = T
+        acc_ref[7:8, :] = done.astype(jnp.float32)
+        return sc + 1
+
+    sc_end = jax.lax.while_loop(cond, body, jnp.zeros((), jnp.int32))
+
+    # chunks never entered contribute nothing: zero their residual slabs
+    def zero_body(c, _):
+        alpha_scr[pl.ds(c * K, K), :] = jnp.zeros((K, px), jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(sc_end * U, dims.n_chunks, zero_body, 0)
+
+    # ---- cotangents + loss partials from the finished accumulators ----
+    Cr, Cg, Cb = acc_ref[0:1, :], acc_ref[1:2, :], acc_ref[2:3, :]
+    D = acc_ref[3:4, :]
+    S = acc_ref[4:5, :]
+    Med = acc_ref[5:6, :]
+    gtr, gtg, gtb = gt_ref[0, 0:1, :], gt_ref[0, 1:2, :], gt_ref[0, 2:3, :]
+    gtd = gt_ref[0, 3:4, :]
+    mask = ((S > 0.99) & (gtd > 0.0)).astype(jnp.float32)
+    dr, dg, db = Cr - gtr, Cg - gtg, Cb - gtb
+    loss_color = jnp.sum((jnp.abs(dr) + jnp.abs(dg) + jnp.abs(db)) * mask)
+    depth_pred = Med if use_sur else D
+    loss_depth = jnp.sum(jnp.abs(depth_pred - gtd) * mask)
+    gcoef = im_w * mask
+    # G5 rows: dL/d{Cr,Cg,Cb,D,S}. Median depth carries no gradient
+    # (include/Rasterizer.cuh:209-212); the blended-depth channel does.
+    dcoef = (0.0 if use_sur else depth_w) * mask
+    G5 = jnp.concatenate(
+        [
+            gcoef * jnp.sign(dr),
+            gcoef * jnp.sign(dg),
+            gcoef * jnp.sign(db),
+            dcoef * jnp.sign(D - gtd),
+            jnp.zeros((1, px), jnp.float32),
+        ],
+        0,
+    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, px), 1)
+    loss_ref[0, :, :] = jnp.where(
+        lane == 0, im_w * loss_color,
+        jnp.where(lane == 1, depth_w * loss_depth, 0.0),
+    )
+
+    # ---- phase B: backward over stored residuals (no recompute) ----
+    grad_ref[...] = jnp.zeros(grad_ref.shape, grad_ref.dtype)
+    # suffix accumulator: R = sum over later chunks of w*phi; bg=0 and no
+    # final-T cotangent in the tracking loss, so R starts at zero.
+    acc_ref[7, :] = jnp.zeros((px,), jnp.float32)
+
+    def chunk_grad(c, R):
+        alpha_a = alpha_scr[pl.ds(c * K, K), :]  # [K, px] applied alpha
+        T_pref = tpref_scr[pl.ds(c * K, K), :]
+        apply = alpha_a > 0.0
+        # where-guard: tpref_scr is uninitialized for never-entered chunks
+        # (alpha slab zeroed instead) — a bare product would leak NaNs.
+        w = jnp.where(apply, alpha_a * T_pref, 0.0)
+        chunk = packed_ref[0, :, pl.ds(c * K, K)]
+        row = lambda r: chunk[r : r + 1, :]
+        ones = jnp.ones((1, K), jnp.float32)
+        A5 = jnp.concatenate([row(_R), row(_G), row(_B), row(_Z), ones], 0)
+        phi = jax.lax.dot_general(
+            A5, G5, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
+        )
+        wphi = w * phi
+        if dims.bf16:
+            suffix = _mm(utri_ref[...], wphi.astype(jnp.bfloat16)) + R
+        else:
+            suffix = _mm_split2_rev(utri_ref[...], wphi) + R
+        one_minus = jnp.maximum(1.0 - alpha_a, 1e-6)
+        d_alpha = jnp.where(apply, T_pref * phi - suffix / one_minus, 0.0)
+        unclamped = alpha_a < 0.99
+        d_power = jnp.where(apply & unclamped, d_alpha, 0.0) * alpha_a
+        Srows = jax.lax.dot_general(
+            pbas_ref[...], d_power, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
+        )
+        WGrows = jax.lax.dot_general(
+            G5, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
+        )
+        S0 = Srows[0:1, :]
+        S1u = Srows[1:2, :]
+        S1v = Srows[2:3, :]
+        S2uu = Srows[3:4, :]
+        S2uv = Srows[4:5, :]
+        S2vv = Srows[5:6, :]
+        mu = row(_MU) - ox
+        mv = row(_MV) - oy
+        ca, cb, cc, op = row(_CA), row(_CB), row(_CC), row(_OP)
+        E0 = mu * S0 - S1u
+        E1 = mv * S0 - S1v
+        d_mu = -(ca * E0 + cb * E1)
+        d_mv = -(cc * E1 + cb * E0)
+        d_ca = -0.5 * (mu * mu * S0 - 2.0 * mu * S1u + S2uu)
+        d_cb = -(mu * mv * S0 - mu * S1v - mv * S1u + S2uv)
+        d_cc = -0.5 * (mv * mv * S0 - 2.0 * mv * S1v + S2vv)
+        d_op = S0 / jnp.maximum(op, 1e-12)
+        G16 = jnp.concatenate(
+            [d_mu, d_mv, d_ca, d_cb, d_cc, d_op, WGrows[0:4, :],
+             jnp.zeros((16 - _N_GRAD, K), jnp.float32)],
+            axis=0,
+        )
+        grad_ref[0, :, pl.ds(c * K, K)] = G16
+        return R + jnp.sum(wphi, axis=0, keepdims=True)
+
+    U2 = dims.unroll
+
+    def bwd_body(i, _):
+        sc = (sc_end - 1) - i
+
+        @pl.when(sc >= 0)
+        def _():
+            R = acc_ref[7:8, :]
+            for j in range(U2 - 1, -1, -1):
+                R = chunk_grad(sc * U2 + j, R)
+            acc_ref[7:8, :] = R
+
+        return 0
+
+    jax.lax.fori_loop(0, n_super, bwd_body, 0)
+
+
+def tracking_loss_grad(
+    packed: jnp.ndarray,  # [T, N_ATTR, cap] screen instances
+    counts: jnp.ndarray,
+    gt_tiles: jnp.ndarray,  # [T, 4, px] gt r,g,b,depth in tile layout
+    cam: Camera,
+    cfg: RasterConfig,
+    im_weight: float,
+    depth_weight: float,
+    use_sur_depth: bool,
+    interpret: bool | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One fused launch -> (image_l1*im_w, depth_l1*depth_w, d_packed).
+
+    The loss is the masked-SUM tracking mix of ``RenderStartTraking``
+    (``src/Render.cc:1075-1096``) WITHOUT the feature chi^2 term (tiny,
+    handled in XLA by the caller).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    cap = packed.shape[2]
+    dims = _dims_for(cam, cfg, cap)
+    if not interpret:
+        assert dims.K % 128 == 0, "chunk must be a multiple of 128 on TPU"
+    T = dims.n_tiles
+    tri_dtype = jnp.bfloat16 if dims.bf16 else jnp.float32
+    grads, loss = pl.pallas_call(
+        functools.partial(
+            _fused_track_kernel, dims=dims, im_w=float(im_weight),
+            depth_w=float(depth_weight), use_sur=bool(use_sur_depth),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, N_ATTR, cap), lambda t, *_: (t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 4, dims.px), lambda t, *_: (t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, N_ATTR, cap), lambda t, *_: (t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, dims.px), lambda t, *_: (t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((cap, dims.px), jnp.float32),  # applied alpha
+                pltpu.VMEM((cap, dims.px), jnp.float32),  # prefix T
+                pltpu.VMEM((8, dims.px), jnp.float32),  # accumulators
+                pltpu.VMEM((8, dims.px), jnp.float32),  # pixel basis
+                pltpu.VMEM((dims.K, dims.K), tri_dtype),
+                pltpu.VMEM((dims.K, dims.K), tri_dtype),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((T, N_ATTR, cap), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, dims.px), jnp.float32),
+        ],
+        interpret=interpret,
+    )(counts, packed, gt_tiles)
+    image_l1 = jnp.sum(loss[:, 0, 0])
+    depth_l1 = jnp.sum(loss[:, 0, 1])
+    return image_l1, depth_l1, grads
+
+
+def tile_gt_images(
+    gt_color: jnp.ndarray,  # [H, W, 3]
+    gt_depth: jnp.ndarray,  # [H, W]
+    cam: Camera,
+    cfg: RasterConfig,
+) -> jnp.ndarray:
+    """Pack gt color+depth into the kernel's [T, 4, px] tile layout.
+    Out-of-image padding rows get depth 0 => masked out of the loss."""
+    ty, tx = tile_grid_shape(cam, cfg)
+    ts = cfg.tile
+    Hp, Wp = ty * ts, tx * ts
+    img = jnp.concatenate([gt_color, gt_depth[..., None]], axis=-1)  # [H, W, 4]
+    img = jnp.pad(img, ((0, Hp - cam.height), (0, Wp - cam.width), (0, 0)))
+    img = img.reshape(ty, ts, tx, ts, 4)
+    img = jnp.transpose(img, (0, 2, 4, 1, 3))  # [ty, tx, 4, ts, ts]
+    return img.reshape(ty * tx, 4, ts * ts)
 
 
 def render_pallas(

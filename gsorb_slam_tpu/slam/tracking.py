@@ -138,6 +138,10 @@ def track_frame(
 
     regate_iter = num_iters // 2  # feature_clear (src/Render.cc:1052)
 
+    backend = rcfg.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+
     def loss_fn(quat, trans, inlier_mask):
         T_cw = pose_to_matrix(quat, trans)
         out = render_instances(
@@ -157,6 +161,49 @@ def track_frame(
         )
         return loss, chi2
 
+    if backend == "pallas":
+        # Fused single-launch iteration: preprocess VJP in XLA, everything
+        # else (render fwd + masked-L1 loss + cotangents + blend bwd) inside
+        # tracking_loss_grad. Same loss mix as loss_fn above.
+        from gsorb_slam_tpu.raster.instances import preprocess_instances
+        from gsorb_slam_tpu.raster.pallas_raster import (
+            tile_gt_images,
+            tracking_loss_grad,
+        )
+
+        gt4 = tile_gt_images(gt_color, gt_depth, cam, rcfg)
+
+        def value_and_grad_iter(quat, trans, inlier_mask):
+            screen, vjp = jax.vjp(
+                lambda q, t: preprocess_instances(
+                    raw, pose_to_matrix(q, t), cam, scale_modifier
+                ),
+                quat, trans,
+            )
+            img_l1, dep_l1, d_screen = tracking_loss_grad(
+                screen, bins.counts, gt4, cam, rcfg,
+                tcfg.im_weight, tcfg.depth_weight, tcfg.use_sur_depth,
+            )
+            gq1, gt1 = vjp(d_screen)
+
+            def chi2_fn(q, t):
+                chi2 = reprojection_chi2(pose_to_matrix(q, t), matches, cam)
+                chi2 = jnp.where(matches.valid & inlier_mask, chi2, 0.0)
+                return tcfg.feature_weight * jnp.sum(chi2), chi2
+
+            (chi2_l, chi2_raw), (gq2, gt2) = jax.value_and_grad(
+                chi2_fn, argnums=(0, 1), has_aux=True
+            )(quat, trans)
+            loss = img_l1 + dep_l1 + chi2_l
+            return (loss, chi2_raw), (gq1 + gq2, gt1 + gt2)
+    else:
+
+        def value_and_grad_iter(quat, trans, inlier_mask):
+            return jax.value_and_grad(
+                lambda q, t: loss_fn(q, t, inlier_mask),
+                argnums=(0, 1), has_aux=True,
+            )(quat, trans)
+
     # The iteration loop is a while_loop with a dynamic trip count: the
     # reference BREAKS on |dloss| < 1e-3 (src/Render.cc:1108-1111), and a
     # while actually skips the remaining renders (a frozen scan would only
@@ -167,9 +214,7 @@ def track_frame(
 
     def step(carry):
         ps, inliers, best_q, best_t, best_loss, last_loss, it, n_applied = carry
-        (loss, chi2), (gq, gt_) = jax.value_and_grad(
-            lambda q, t: loss_fn(q, t, inliers), argnums=(0, 1), has_aux=True
-        )(ps.quat, ps.trans)
+        (loss, chi2), (gq, gt_) = value_and_grad_iter(ps.quat, ps.trans, inliers)
 
         # Halfway inlier re-gate on the current pose's raw chi^2.
         inliers = jnp.where(

@@ -1,0 +1,168 @@
+"""TPU accuracy smoke gate: COMPILED (Mosaic) kernels vs the XLA blends.
+
+The CPU suite runs Pallas in interpret mode only, and interpret-on-TPU
+shares XLA:TPU's default-precision matmuls — so a whole class of bug
+(Mosaic lowering, MXU input-precision rounding) only shows up when the
+compiled kernel is compared against the precision=HIGHEST XLA path ON the
+TPU. This script is that comparison; run it after any kernel change
+(r2 regression caught here: default-precision MXU inputs put O(1) error
+into ln(alpha) via catastrophic cancellation -> 0.65 color divergence).
+
+Exit code 0 = all gates pass.
+"""
+
+import sys
+
+import numpy as np
+import jax
+
+# The XLA reference paths must themselves run at full f32 — TPU's default
+# matmul precision rounds inputs to bf16, which corrupts the autodiff
+# reference far more than the kernels being tested.
+jax.config.update("jax_default_matmul_precision", "highest")
+import jax.numpy as jnp
+
+from gsorb_slam_tpu.core.camera import Camera
+from gsorb_slam_tpu.ops.losses import l1_tracking
+from gsorb_slam_tpu.raster import RasterConfig, bin_gaussians, preprocess
+from gsorb_slam_tpu.raster.instances import (
+    blend_packed_xla,
+    pack_raw_instances,
+    preprocess_instances,
+)
+from gsorb_slam_tpu.raster.pallas_raster import (
+    _pack_instances,
+    blend_and_untile,
+    tile_gt_images,
+    tracking_loss_grad,
+)
+from gsorb_slam_tpu.raster.tiled import render_tiled
+from gsorb_slam_tpu.splat.gaussians import add_points, empty_map
+
+
+def main() -> int:
+    if jax.default_backend() != "tpu":
+        print("SKIP: no TPU backend attached")
+        return 0
+
+    cam = Camera(fx=90.0, fy=90.0, cx=48.0, cy=36.0, width=96, height=72)
+    rng = np.random.default_rng(1)
+    N, CAP = 3000, 1 << 13
+    means = np.stack(
+        [rng.uniform(-1, 1, N), rng.uniform(-0.8, 0.8, N), rng.uniform(1.0, 3.0, N)],
+        -1,
+    ).astype(np.float32)
+    gm = empty_map(CAP)
+    gm = add_points(
+        gm, jnp.asarray(means),
+        jnp.asarray(rng.uniform(0, 1, (N, 3)).astype(np.float32)),
+        jnp.asarray(means[:, 2]), jnp.ones(N, bool), cam.fx, cam.fy,
+    )
+    T = jnp.eye(4)
+    ok = True
+
+    for exact in (False, True):
+        rcfg = RasterConfig(
+            tile=16, tile_capacity=1024, max_dup=16, chunk=128,
+            dilate_px=8.0, exact_stop=exact,
+        )
+        prep = jax.jit(
+            lambda: preprocess(gm.means, gm.rgb, gm.quats, gm.logit_opacities,
+                               gm.log_scales, gm.active, T, cam)
+        )()
+        bins = jax.jit(lambda: bin_gaussians(prep, cam, rcfg))()
+        packed = jax.jit(lambda: _pack_instances(prep, bins))()
+        ox = jax.jit(lambda p: blend_packed_xla(p, bins.counts, cam, rcfg))(packed)
+        oc = jax.jit(
+            lambda p: blend_and_untile(p, bins.counts, cam, rcfg, interpret=False)
+        )(packed)
+        for name, tol in (("color", 2e-3), ("depth", 5e-3), ("alpha", 2e-3),
+                          ("final_t", 2e-3)):
+            d = float(jnp.max(jnp.abs(getattr(oc, name) - getattr(ox, name))))
+            status = "ok " if d < tol else "FAIL"
+            if d >= tol:
+                ok = False
+            print(f"[{status}] exact={int(exact)} compiled-vs-xla {name}: {d:.6f} "
+                  f"(tol {tol})", flush=True)
+
+        # fused tracking kernel: loss + grads vs XLA autodiff, compiled
+        ref = jax.jit(lambda p: render_tiled(p, bins, cam, rcfg))(prep)
+        gt_color = jax.lax.stop_gradient(ref.color)
+        gt_depth = jax.lax.stop_gradient(
+            jnp.where(ref.alpha > 0.5, ref.median_depth, 0.0)
+        )
+        gt4 = tile_gt_images(gt_color, gt_depth, cam, rcfg)
+
+        def xla_loss(p):
+            o = blend_packed_xla(p, bins.counts, cam, rcfg)
+            mask = jax.lax.stop_gradient((o.alpha > 0.99) & (gt_depth > 0))
+            return 0.7 * l1_tracking(o.color, gt_color, mask) + 1.0 * (
+                l1_tracking(o.depth, gt_depth, mask)
+            )
+
+        l_ref, _ = jax.jit(jax.value_and_grad(xla_loss))(packed)
+        img, dep, _ = jax.jit(
+            lambda p: tracking_loss_grad(
+                p, bins.counts, gt4, cam, rcfg, 0.7, 1.0, False, interpret=False
+            )
+        )(packed)
+        dl = abs(float(img + dep) - float(l_ref)) / max(abs(float(l_ref)), 1.0)
+        s1 = "ok " if dl < 1e-3 else "FAIL"
+        if dl >= 1e-3:
+            ok = False
+        print(f"[{s1}] exact={int(exact)} fused loss rel-err: {dl:.2e}", flush=True)
+
+        # POSE-level gradient: the actual consumer of the fused kernel. The
+        # per-instance grads legitimately differ from XLA autodiff at
+        # mask-boundary pixels (the alpha>0.99 threshold flips under 1e-4
+        # forward noise), but those flips are measure-zero in the pose sum.
+        from gsorb_slam_tpu.core.transforms import matrix_to_pose, pose_to_matrix
+
+        raw = jax.jit(
+            lambda: pack_raw_instances(
+                gm.means, gm.rgb, gm.quats, gm.logit_opacities, gm.log_scales,
+                gm.active, bins,
+            )
+        )()
+        q0, t0 = matrix_to_pose(jnp.eye(4).at[:3, 3].set(
+            jnp.array([0.004, -0.003, 0.002])
+        ))
+
+        def xla_pose_loss(q, t):
+            screen = preprocess_instances(raw, pose_to_matrix(q, t), cam)
+            o = blend_packed_xla(screen, bins.counts, cam, rcfg)
+            mask = jax.lax.stop_gradient((o.alpha > 0.99) & (gt_depth > 0))
+            return 0.7 * l1_tracking(o.color, gt_color, mask) + 1.0 * (
+                l1_tracking(o.depth, gt_depth, mask)
+            )
+
+        gq_ref, gt_ref = jax.jit(jax.grad(xla_pose_loss, argnums=(0, 1)))(q0, t0)
+
+        def fused_pose_grad(q, t):
+            screen, vjp = jax.vjp(
+                lambda q_, t_: preprocess_instances(
+                    raw, pose_to_matrix(q_, t_), cam
+                ),
+                q, t,
+            )
+            _i, _d, d_screen = tracking_loss_grad(
+                screen, bins.counts, gt4, cam, rcfg, 0.7, 1.0, False,
+                interpret=False,
+            )
+            return vjp(d_screen)
+
+        gq_f, gt_f = jax.jit(fused_pose_grad)(q0, t0)
+        rq = float(jnp.max(jnp.abs(gq_f - gq_ref)) / (jnp.max(jnp.abs(gq_ref)) + 1e-9))
+        rt = float(jnp.max(jnp.abs(gt_f - gt_ref)) / (jnp.max(jnp.abs(gt_ref)) + 1e-9))
+        s2 = "ok " if max(rq, rt) < 2e-2 else "FAIL"
+        if max(rq, rt) >= 2e-2:
+            ok = False
+        print(f"[{s2}] exact={int(exact)} fused POSE grad rel-err: quat {rq:.2e} "
+              f"trans {rt:.2e}", flush=True)
+
+    print("TPU-SMOKE", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

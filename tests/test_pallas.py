@@ -128,3 +128,125 @@ def test_pallas_median_depth_no_gradient(rng):
 
     g = jax.grad(loss)(prep0.opacity)
     np.testing.assert_allclose(np.asarray(g), 0.0)
+
+
+def test_fused_tracking_matches_xla_autodiff(rng):
+    """The fused tracking kernel (fwd + masked-L1 loss + cotangents + bwd in
+    one launch) must reproduce XLA autodiff through the portable blend."""
+    from gsorb_slam_tpu.ops.losses import l1_tracking
+    from gsorb_slam_tpu.raster.instances import blend_packed_xla
+    from gsorb_slam_tpu.raster.pallas_raster import (
+        _pack_instances,
+        tile_gt_images,
+        tracking_loss_grad,
+    )
+
+    cfg = RasterConfig(tile=16, tile_capacity=256, max_dup=16, chunk=64,
+                       exact_stop=True)
+    cam = tiny_camera()
+    scene = random_cloud_scene(rng, n=300, capacity=384)
+    prep = _prep(scene, cam)
+    bins = bin_gaussians(prep, cam, cfg)
+    packed = _pack_instances(prep, bins)
+
+    # a slightly different scene as "gt" so signs/masks are non-trivial
+    scene2 = random_cloud_scene(rng, n=300, capacity=384)
+    prep2 = _prep(scene2, cam)
+    bins2 = bin_gaussians(prep2, cam, cfg)
+    ref2 = render_tiled(prep2, bins2, cam, cfg)
+    gt_color = jax.lax.stop_gradient(ref2.color)
+    gt_depth = jax.lax.stop_gradient(
+        jnp.where(ref2.alpha > 0.3, ref2.median_depth, 0.0)
+    )
+
+    im_w, depth_w = 0.7, 1.0
+    for use_sur in (True, False):
+        def loss_fn(p):
+            out = blend_packed_xla(p, bins.counts, cam, cfg)
+            mask = jax.lax.stop_gradient((out.alpha > 0.99) & (gt_depth > 0))
+            image_l1 = l1_tracking(out.color, gt_color, mask)
+            dpred = out.median_depth if use_sur else out.depth
+            return im_w * image_l1 + depth_w * l1_tracking(dpred, gt_depth, mask)
+
+        loss_ref, g_ref = jax.value_and_grad(loss_fn)(packed)
+
+        gt4 = tile_gt_images(gt_color, gt_depth, cam, cfg)
+        img_l1, dep_l1, grads = tracking_loss_grad(
+            packed, bins.counts, gt4, cam, cfg, im_w, depth_w, use_sur,
+            interpret=True,
+        )
+        loss_fused = img_l1 + dep_l1
+        np.testing.assert_allclose(
+            float(loss_fused), float(loss_ref), rtol=2e-5,
+            err_msg=f"use_sur={use_sur}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(grads[:, :10, :]), np.asarray(g_ref[:, :10, :]),
+            atol=2e-4, rtol=2e-3, err_msg=f"use_sur={use_sur}",
+        )
+
+
+def test_fused_tracking_pose_gradient_e2e(rng):
+    """Pose gradient through preprocess_instances + fused kernel equals the
+    full-XLA autodiff pose gradient (the production tracking iteration)."""
+    from gsorb_slam_tpu.core.transforms import matrix_to_pose, pose_to_matrix
+    from gsorb_slam_tpu.ops.losses import l1_tracking
+    from gsorb_slam_tpu.raster.instances import (
+        blend_packed_xla,
+        pack_raw_instances,
+        preprocess_instances,
+    )
+    from gsorb_slam_tpu.raster.pallas_raster import (
+        tile_gt_images,
+        tracking_loss_grad,
+    )
+
+    cfg = RasterConfig(tile=16, tile_capacity=256, max_dup=16, chunk=64,
+                       exact_stop=True)
+    cam = tiny_camera()
+    scene = random_cloud_scene(rng, n=250, capacity=256)
+    prep = _prep(scene, cam)
+    bins = bin_gaussians(prep, cam, cfg)
+    raw = pack_raw_instances(
+        scene["means"], scene["rgb"], scene["quats"],
+        scene["logit_opacities"], scene["log_scales"], scene["active"], bins,
+    )
+    ref = render_tiled(prep, bins, cam, cfg)
+    gt_color = jax.lax.stop_gradient(ref.color)
+    gt_depth = jax.lax.stop_gradient(
+        jnp.where(ref.alpha > 0.3, ref.median_depth, 0.0)
+    )
+    T0 = jnp.eye(4).at[:3, 3].set(jnp.array([0.01, -0.02, 0.005]))
+    quat0, trans0 = matrix_to_pose(T0)
+    im_w, depth_w, use_sur = 0.7, 1.0, False
+
+    def xla_loss(q, t):
+        screen = preprocess_instances(raw, pose_to_matrix(q, t), cam)
+        out = blend_packed_xla(screen, bins.counts, cam, cfg)
+        mask = jax.lax.stop_gradient((out.alpha > 0.99) & (gt_depth > 0))
+        return im_w * l1_tracking(out.color, gt_color, mask) + depth_w * (
+            l1_tracking(out.depth, gt_depth, mask)
+        )
+
+    l_ref, (gq_ref, gt_ref) = jax.value_and_grad(xla_loss, argnums=(0, 1))(
+        quat0, trans0
+    )
+
+    gt4 = tile_gt_images(gt_color, gt_depth, cam, cfg)
+
+    def fused(q, t):
+        screen, vjp = jax.vjp(
+            lambda q_, t_: preprocess_instances(raw, pose_to_matrix(q_, t_), cam),
+            q, t,
+        )
+        img, dep, d_screen = tracking_loss_grad(
+            screen, bins.counts, gt4, cam, cfg, im_w, depth_w, use_sur,
+            interpret=True,
+        )
+        gq, gt_ = vjp(d_screen)
+        return img + dep, gq, gt_
+
+    l_f, gq_f, gt_f = fused(quat0, trans0)
+    np.testing.assert_allclose(float(l_f), float(l_ref), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(gq_f), np.asarray(gq_ref), rtol=5e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gt_f), np.asarray(gt_ref), rtol=5e-3, atol=1e-3)
