@@ -1,0 +1,153 @@
+"""Full-system benchmark on the TUM-like synthetic sequence.
+
+The driver for the reference protocol (``scripts/run_tum.sh``: N rounds per
+sequence, per-run ``experiments/<name>/`` outputs with trajectory,
+``result.txt``) pointed at :class:`slam.dataset.TUMLikeDataset` — the
+zero-egress stand-in for fr1 (see the dataset docstring). Reports ATE RMSE,
+per-frame timing, and render quality (PSNR/SSIM over the estimated
+trajectory), writing the same artifact set the reference leaves behind.
+
+Usage:
+    python -m gsorb_slam_tpu.apps.run_benchmark --frames 100 \
+        --track-iters 50 --map-iters 30 --out experiments/tum_like
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--track-iters", type=int, default=200)
+    ap.add_argument("--map-iters", type=int, default=100)
+    ap.add_argument("--no-distortion", action="store_true")
+    ap.add_argument("--no-noise", action="store_true")
+    ap.add_argument("--frontend", default="orb", choices=["orb", "render"])
+    ap.add_argument("--max-gaussians", type=int, default=1 << 19)
+    ap.add_argument("--out", default="experiments/tum_like")
+    ap.add_argument("--eval-stride", type=int, default=1)
+    ap.add_argument("--cache", default="/tmp/gsorb_bench_cache")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from gsorb_slam_tpu.core.config import (
+        CameraConfig,
+        DebugConfig,
+        MappingConfig,
+        ORBConfig,
+        SystemConfig,
+        TrackingConfig,
+    )
+    from gsorb_slam_tpu.eval.ate import ate_rmse
+    from gsorb_slam_tpu.eval.trajectory import save_tum
+    from gsorb_slam_tpu.ops.losses import ssim
+    from gsorb_slam_tpu.ops.metrics import psnr
+    from gsorb_slam_tpu.raster import RasterConfig
+    from gsorb_slam_tpu.slam.dataset import TUMLikeDataset
+    from gsorb_slam_tpu.slam.system import System
+
+    print(f"backend: {jax.default_backend()}", flush=True)
+    t0 = time.time()
+    ds = TUMLikeDataset(
+        n_frames=args.frames, seed=args.seed, width=args.width,
+        height=args.height, apply_distortion=not args.no_distortion,
+        noise=not args.no_noise, cache_dir=args.cache,
+    )
+    print(f"dataset built in {time.time()-t0:.1f}s "
+          f"({len(ds)} frames {args.width}x{args.height})", flush=True)
+
+    s = args.width / 640.0
+    cam = ds.cam
+    k1, k2, p1, p2, k3 = (
+        TUMLikeDataset.DIST if not args.no_distortion else (0, 0, 0, 0, 0)
+    )
+    cfg = SystemConfig(
+        camera=CameraConfig(
+            width=args.width, height=args.height,
+            fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy, fps=30,
+            k1=k1, k2=k2, p1=p1, p2=p2, k3=k3,
+            depth_map_factor=1.0,
+        ),
+        orb=ORBConfig(n_features=1000, n_levels=8),
+        mapping=MappingConfig(
+            num_iters=args.map_iters, init_iters=min(200, 4 * args.map_iters),
+            max_gaussians=args.max_gaussians, madien_mul=10.0,
+        ),
+        tracking=TrackingConfig(num_iters=args.track_iters),
+        debug=DebugConfig(use_loop=False),
+    )
+    sys_ = System(cfg, max_keyframes=128, frontend=args.frontend)
+
+    est, gt, lat = [], [], []
+    for i, fr in enumerate(ds):
+        tf = time.time()
+        T = sys_.track_rgbd(fr.rgb, fr.depth, fr.timestamp)
+        lat.append(time.time() - tf)
+        est.append(T)
+        gt.append(fr.gt_T_cw)
+        if i % 10 == 0:
+            print(f"frame {i}/{len(ds)}  {lat[-1]:.2f}s "
+                  f"splats={int(sys_.gm.n_active())}", flush=True)
+
+    rmse = float(ate_rmse(est, gt))
+    summ = sys_.shutdown_summary()
+
+    # Render-quality pass over the estimated trajectory (Evalution analog,
+    # src/Utils.cc:365-473 — every eval-stride-th frame).
+    psnrs, ssims, dl1s = [], [], []
+    for i in range(0, len(ds), args.eval_stride):
+        fr = ds[i]
+        out = sys_.render_view(est[i])
+        c = np.clip(np.asarray(out.color), 0, 1)
+        mask = fr.depth > 0
+        psnrs.append(float(psnr(jnp.asarray(c), jnp.asarray(fr.rgb),
+                                jnp.asarray(mask))))
+        ssims.append(float(ssim(jnp.asarray(c), jnp.asarray(fr.rgb))))
+        md = np.asarray(out.median_depth)
+        valid = mask & (md > 0)
+        if valid.any():
+            dl1s.append(float(np.abs(md - fr.depth)[valid].mean()))
+
+    os.makedirs(args.out, exist_ok=True)
+    save_tum(
+        os.path.join(args.out, "CameraTrajectory.txt"),
+        [(fr.timestamp, T) for fr, T in zip(ds, est)],
+    )
+    result = {
+        "sequence": f"tum_like_{args.frames}f_seed{args.seed}",
+        "frames": len(ds),
+        "ate_rmse_m": rmse,
+        "psnr_db": float(np.mean(psnrs)),
+        "ssim": float(np.mean(ssims)),
+        "depth_l1_m": float(np.mean(dl1s)) if dl1s else None,
+        "mean_frame_s": float(np.mean(lat[1:])),
+        "median_frame_s": float(np.median(lat[1:])),
+        "avg_tracking_s": summ["avg_tracking_s"],
+        "avg_mapping_s": summ["avg_mapping_s"],
+        "total_gaussians": summ["total_gaussians"],
+        "n_keyframes": summ["n_keyframes"],
+        "track_iters": args.track_iters,
+        "map_iters": args.map_iters,
+        "distortion": not args.no_distortion,
+        "frontend": args.frontend,
+        "backend": jax.default_backend(),
+    }
+    with open(os.path.join(args.out, "result.txt"), "a") as f:
+        f.write(json.dumps(result) + "\n")
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

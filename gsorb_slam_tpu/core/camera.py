@@ -76,6 +76,87 @@ class Camera:
         )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Distortion:
+    """Brown-Conrady radial/tangential lens distortion (the reference's
+    ``Camera.k1..k3/p1/p2`` YAML keys, consumed by
+    ``Frame::UndistortKeyPoints`` via ``cv::undistortPoints``). All fields
+    static so a ``Distortion`` can be a jit static argument."""
+
+    k1: float = dataclasses.field(default=0.0, metadata=dict(static=True))
+    k2: float = dataclasses.field(default=0.0, metadata=dict(static=True))
+    p1: float = dataclasses.field(default=0.0, metadata=dict(static=True))
+    p2: float = dataclasses.field(default=0.0, metadata=dict(static=True))
+    k3: float = dataclasses.field(default=0.0, metadata=dict(static=True))
+
+    def is_zero(self) -> bool:
+        return self.k1 == self.k2 == self.p1 == self.p2 == self.k3 == 0.0
+
+
+def distort_points(cam: Camera, dist: Distortion, uv: jnp.ndarray) -> jnp.ndarray:
+    """Apply the forward distortion model to IDEAL pixel coords ``[..., 2]``:
+    ideal (pinhole) -> observed (distorted) pixel coordinates."""
+    x = (uv[..., 0] - cam.cx) / cam.fx
+    y = (uv[..., 1] - cam.cy) / cam.fy
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (dist.k1 + r2 * (dist.k2 + r2 * dist.k3))
+    xd = x * radial + 2.0 * dist.p1 * x * y + dist.p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + dist.p1 * (r2 + 2.0 * y * y) + 2.0 * dist.p2 * x * y
+    return jnp.stack([cam.fx * xd + cam.cx, cam.fy * yd + cam.cy], axis=-1)
+
+
+def undistort_points(
+    cam: Camera, dist: Distortion, uv: jnp.ndarray, iters: int = 5
+) -> jnp.ndarray:
+    """Observed (distorted) pixel coords -> ideal pinhole pixel coords.
+
+    Same fixed-point iteration as ``cv::undistortPoints`` (and therefore as
+    the reference's ``Frame::UndistortKeyPoints``, ``src/Frame.cc``): start
+    from the distorted normalized coords and repeatedly divide out the
+    radial factor / subtract the tangential shift. ``iters=5`` matches
+    OpenCV's iteration count exactly — with strong coefficients (TUM1's
+    k2=-0.95, k3=1.16) the fixed point is NOT contractive at the extreme
+    corners, so more iterations would diverge from the reference behavior.
+    Validated against ``cv2.undistortPoints`` in tests (<1e-4 px at TUM1
+    coefficients).
+    """
+    xd = (uv[..., 0] - cam.cx) / cam.fx
+    yd = (uv[..., 1] - cam.cy) / cam.fy
+    x, y = xd, yd
+    for _ in range(iters):
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (dist.k1 + r2 * (dist.k2 + r2 * dist.k3))
+        dx = 2.0 * dist.p1 * x * y + dist.p2 * (r2 + 2.0 * x * x)
+        dy = dist.p1 * (r2 + 2.0 * y * y) + 2.0 * dist.p2 * x * y
+        inv = 1.0 / jnp.maximum(radial, 1e-6)
+        x = (xd - dx) * inv
+        y = (yd - dy) * inv
+    return jnp.stack([cam.fx * x + cam.cx, cam.fy * y + cam.cy], axis=-1)
+
+
+def undistorted_image_bounds(
+    cam: Camera, dist: Distortion
+) -> tuple[float, float, float, float]:
+    """(min_x, max_x, min_y, max_y) of the undistorted image rectangle —
+    ``Frame::ComputeImageBounds`` (undistorts the 4 corners)."""
+    import numpy as np
+
+    corners = jnp.asarray(
+        [[0.0, 0.0], [cam.width, 0.0], [0.0, cam.height], [cam.width, cam.height]],
+        jnp.float32,
+    )
+    if dist.is_zero():
+        return 0.0, float(cam.width), 0.0, float(cam.height)
+    und = np.asarray(undistort_points(cam, dist, corners))
+    return (
+        float(min(und[0, 0], und[2, 0])),
+        float(max(und[1, 0], und[3, 0])),
+        float(min(und[0, 1], und[1, 1])),
+        float(max(und[2, 1], und[3, 1])),
+    )
+
+
 def project_points(cam: Camera, pts_cam: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Project camera-frame points ``[..., 3]`` -> pixel coords ``[..., 2]``, depth ``[...]``."""
     z = pts_cam[..., 2]

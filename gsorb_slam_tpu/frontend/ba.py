@@ -29,6 +29,8 @@ from gsorb_slam_tpu.core.transforms import se3_exp
 
 CHI2_MONO = 5.991
 HUBER_MONO = jnp.sqrt(CHI2_MONO)
+CHI2_STEREO = 7.815  # 95% chi^2, 3 DoF (src/Optimizer.cc:300-380 edges)
+HUBER_STEREO = jnp.sqrt(CHI2_STEREO)
 
 
 def _project_residual(T_cw, world, obs_uv, cam: Camera):
@@ -97,17 +99,55 @@ def pose_optimization(
     rounds: int = 4,
     iters_per_round: int = 10,
     damping: float = 1e-4,
+    obs_ur: jnp.ndarray | None = None,  # [M] right-image u (<0 = mono obs)
+    bf: float = 0.0,
 ) -> PoseOptResult:
     """Motion-only BA with the reference's 4x10 round structure and chi^2
-    re-gating between rounds (``src/Optimizer.cc:239-452``)."""
+    re-gating between rounds (``src/Optimizer.cc:239-452``).
+
+    When ``obs_ur``/``bf`` are given, observations with ``obs_ur >= 0`` use
+    3-DoF stereo edges [u, v, uR] with uR = u - bf/z and the stereo Huber /
+    chi^2 thresholds (``EdgeStereoSE3ProjectXYZOnlyPose``,
+    ``src/Optimizer.cc:300-380``); the rest stay mono.
+    """
+    M = world.shape[0]
+    if obs_ur is None:
+        obs_ur = jnp.full((M,), -1.0, jnp.float32)
+    is_stereo = obs_ur >= 0.0
+    chi2_th = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+    huber = jnp.where(is_stereo, HUBER_STEREO, HUBER_MONO)
+
+    def residual3(T):
+        r2, xc = _project_residual(T, world, obs_uv, cam)
+        z = jnp.maximum(xc[:, 2], 1e-6)
+        uR_pred = (cam.fx * xc[:, 0] / z + cam.cx) - bf / z
+        r_ur = jnp.where(is_stereo, uR_pred - obs_ur, 0.0)
+        r = jnp.concatenate([r2, r_ur[:, None]], axis=-1)  # [M, 3]
+        # f32 overflow guard: behind-camera points otherwise blow r^2 to inf
+        # and 0*inf = NaN wrecks the normal equations.
+        return jnp.clip(r, -1e4, 1e4), xc
+
+    def jacobian3(xc):
+        J2 = _pose_jacobian(xc, cam)  # [M, 2, 6]
+        x, y, z = xc[:, 0], xc[:, 1], jnp.maximum(xc[:, 2], 1e-6)
+        iz2 = 1.0 / (z * z)
+        # uR = u - bf/z  =>  d uR = d u + bf * iz^2 * dz, with
+        # dz/d[rho, phi] = [0, 0, 1, y, -x, 0] for T <- exp(xi) T.
+        dz = jnp.stack(
+            [jnp.zeros_like(z), jnp.zeros_like(z), jnp.ones_like(z),
+             y, -x, jnp.zeros_like(z)], -1
+        )
+        jur = J2[:, 0, :] + bf * iz2[:, None] * dz
+        jur = jnp.where(is_stereo[:, None], jur, 0.0)
+        return jnp.concatenate([J2, jur[:, None, :]], axis=1)  # [M, 3, 6]
 
     def gn_iters(T, inliers):
         def it(_, T):
-            r, xc = _project_residual(T, world, obs_uv, cam)
+            r, xc = residual3(T)
             chi2 = inv_sigma2 * jnp.sum(r * r, -1)
-            w = inv_sigma2 * _huber_weight(chi2, HUBER_MONO)
-            w = jnp.where(valid & inliers, w, 0.0)
-            J = _pose_jacobian(xc, cam)  # [M, 2, 6]
+            w = inv_sigma2 * _huber_weight(chi2, huber)
+            w = jnp.where(valid & inliers & (xc[:, 2] > 1e-2), w, 0.0)
+            J = jacobian3(xc)  # [M, 3, 6]
             JtW = J * w[:, None, None]
             H = jnp.einsum("mri,mrj->ij", JtW, J) + damping * jnp.eye(6)
             b = jnp.einsum("mri,mr->i", JtW, r)
@@ -117,15 +157,15 @@ def pose_optimization(
         return jax.lax.fori_loop(0, iters_per_round, it, T)
 
     T = T_init
-    inliers = jnp.ones(world.shape[0], bool)
+    inliers = jnp.ones(M, bool)
     for _ in range(rounds):
         T = gn_iters(T, inliers)
-        r, _ = _project_residual(T, world, obs_uv, cam)
+        r, _ = residual3(T)
         chi2 = inv_sigma2 * jnp.sum(r * r, -1)
-        inliers = chi2 <= CHI2_MONO
-    r, _ = _project_residual(T, world, obs_uv, cam)
+        inliers = chi2 <= chi2_th
+    r, _ = residual3(T)
     chi2 = inv_sigma2 * jnp.sum(r * r, -1)
-    inliers = valid & (chi2 <= CHI2_MONO)
+    inliers = valid & (chi2 <= chi2_th)
     return PoseOptResult(
         T_cw=T, inliers=inliers, chi2=chi2, n_inliers=jnp.sum(inliers.astype(jnp.int32))
     )
@@ -209,6 +249,15 @@ def local_bundle_adjustment(
     if fixed_mask is None:
         fixed_mask = jnp.zeros(K, bool).at[0].set(True)
 
+    # f32 overflow guard: a runaway point (rank-deficient 3x3 system, e.g. a
+    # freshly triangulated low-parallax landmark with a single pair of
+    # observations) can push residuals to r^2 > f32 max; then w=0 times
+    # J*inf = NaN poisons every segment sum. Clip residuals, zero-weight
+    # behind-camera observations, and trust-region the updates.
+    R_CLIP = 1e4  # px
+    MAX_DX = 1.0  # m per sweep per point
+    MAX_DXI = 0.5  # rad/m per sweep per pose
+
     def sweep(_, state):
         poses, points = state
         T_o = poses[obs_kf]  # [O, 4, 4]
@@ -216,16 +265,18 @@ def local_bundle_adjustment(
         R_o = T_o[:, :3, :3]
         t_o = T_o[:, :3, 3]
         xc = jnp.einsum("oij,oj->oi", R_o, X_o) + t_o
+        in_front = xc[:, 2] > 1e-2
         z = jnp.maximum(xc[:, 2], 1e-6)
         u = cam.fx * xc[:, 0] / z + cam.cx
         v = cam.fy * xc[:, 1] / z + cam.cy
         r = jnp.stack([u - obs_uv[:, 0], v - obs_uv[:, 1]], -1)  # [O, 2]
+        r = jnp.clip(r, -R_CLIP, R_CLIP)
         chi2 = obs_inv_sigma2 * jnp.sum(r * r, -1)
         # Huber-robust only — no hard gate during sweeps (g2o semantics:
         # the robust kernel bounds outlier influence; hard classification
         # happens only at the end).
         w = obs_inv_sigma2 * _huber_weight(chi2, HUBER_MONO)
-        w = jnp.where(obs_valid, w, 0.0)
+        w = jnp.where(obs_valid & in_front, w, 0.0)
 
         # d r / d X_world = J_proj(xc) @ R  [O, 2, 3]
         iz = 1.0 / z
@@ -242,28 +293,40 @@ def local_bundle_adjustment(
         # --- point update: segment-sum 3x3 normal equations per point ---
         JtWJ = jnp.einsum("ori,orj->oij", Jx * w[:, None, None], Jx)
         JtWr = jnp.einsum("ori,or->oi", Jx * w[:, None, None], r)
-        Hp = jnp.zeros((P, 3, 3)).at[obs_pt].add(JtWJ) + damping * jnp.eye(3)
+        Hp = jnp.zeros((P, 3, 3)).at[obs_pt].add(JtWJ)
+        # LM-style damping scaled to the block diagonal keeps the step
+        # bounded even when the point is observed along near-parallel rays.
+        diagp = jnp.maximum(jax.vmap(jnp.diag)(Hp).max(axis=-1), 1.0)
+        Hp = Hp + (damping * diagp)[:, None, None] * jnp.eye(3)
         bp = jnp.zeros((P, 3)).at[obs_pt].add(JtWr)
         dX = -jnp.linalg.solve(Hp, bp[..., None])[..., 0]
+        nrm = jnp.linalg.norm(dX, axis=-1, keepdims=True)
+        dX = dX * jnp.minimum(1.0, MAX_DX / jnp.maximum(nrm, 1e-9))
         seen = jnp.zeros((P,)).at[obs_pt].add(w) > 0
         points = points + jnp.where(seen[:, None], dX, 0.0)
 
         # --- pose update with refreshed residuals ---
         X_o = points[obs_pt]
         xc = jnp.einsum("oij,oj->oi", R_o, X_o) + t_o
+        in_front = xc[:, 2] > 1e-2
         z = jnp.maximum(xc[:, 2], 1e-6)
         u = cam.fx * xc[:, 0] / z + cam.cx
         v = cam.fy * xc[:, 1] / z + cam.cy
         r = jnp.stack([u - obs_uv[:, 0], v - obs_uv[:, 1]], -1)
+        r = jnp.clip(r, -R_CLIP, R_CLIP)
         chi2 = obs_inv_sigma2 * jnp.sum(r * r, -1)
         w = obs_inv_sigma2 * _huber_weight(chi2, HUBER_MONO)
-        w = jnp.where(obs_valid, w, 0.0)
+        w = jnp.where(obs_valid & in_front, w, 0.0)
         Jse = _pose_jacobian(xc, cam)  # [O, 2, 6]
         HtJ = jnp.einsum("ori,orj->oij", Jse * w[:, None, None], Jse)
         Htr = jnp.einsum("ori,or->oi", Jse * w[:, None, None], r)
-        Hk = jnp.zeros((K, 6, 6)).at[obs_kf].add(HtJ) + damping * jnp.eye(6)
+        Hk = jnp.zeros((K, 6, 6)).at[obs_kf].add(HtJ)
+        diagk = jnp.maximum(jax.vmap(jnp.diag)(Hk).max(axis=-1), 1.0)
+        Hk = Hk + (damping * diagk)[:, None, None] * jnp.eye(6)
         bk = jnp.zeros((K, 6)).at[obs_kf].add(Htr)
         dxi = -jnp.linalg.solve(Hk, bk[..., None])[..., 0]
+        nrmx = jnp.linalg.norm(dxi, axis=-1, keepdims=True)
+        dxi = dxi * jnp.minimum(1.0, MAX_DXI / jnp.maximum(nrmx, 1e-9))
         dxi = jnp.where(fixed_mask[:, None], 0.0, dxi)
         poses = jax.vmap(lambda xi, T: se3_exp(xi) @ T)(dxi, poses)
         return poses, points

@@ -127,6 +127,59 @@ def search_for_triangulation(
     return MatchResult(idx2=jnp.where(valid, best, -1), dist=d_best, valid=valid)
 
 
+class StereoMatches(NamedTuple):
+    u_right: jnp.ndarray  # [NL] matched right-image u (-1 = none)
+    depth: jnp.ndarray  # [NL] bf / disparity (0 = none)
+    valid: jnp.ndarray  # [NL] bool
+
+
+def compute_stereo_matches(
+    fL: ORBFeatures,
+    fR: ORBFeatures,
+    bf: float,
+    min_z: float,
+    scale_factors: jnp.ndarray,  # [n_levels] per-octave scale (1.2^l)
+    max_dist: int = (TH_HIGH + TH_LOW) // 2,
+) -> StereoMatches:
+    """Sparse stereo depth by descriptor matching along rectified rows —
+    ``Frame::ComputeStereoMatches`` (``src/Frame.cc``): candidates within
+    a +-2*scale row band, disparity in [minD, maxD] with maxD = bf/minZ,
+    best Hamming match under ``thOrbDist`` = (TH_HIGH+TH_LOW)/2. The
+    reference's SAD sub-pixel parabola refinement needs patch access; the
+    descriptor-level match (+-0.5 px) feeds the same (u, v, uR) stereo
+    edges and depth = bf / disparity.
+
+    Rectified-pair convention: uL - uR = disparity >= 0.
+    """
+    max_d = bf / max(min_z, 1e-3)
+    D = hamming_matrix(fL.descriptors, fR.descriptors)
+    row_tol = 2.0 * scale_factors[jnp.clip(fL.octave, 0, len(scale_factors) - 1)]
+    dv = jnp.abs(fL.uv[:, None, 1] - fR.uv[None, :, 1])
+    disp = fL.uv[:, None, 0] - fR.uv[None, :, 0]
+    # Same-ish pyramid level (reference checks octave within +-1).
+    d_oct = jnp.abs(fL.octave[:, None] - fR.octave[None, :])
+    ok = (
+        (dv <= row_tol[:, None])
+        & (disp > 0.0)
+        & (disp <= max_d)
+        & (d_oct <= 1)
+        & fL.valid[:, None]
+        & fR.valid[None, :]
+    )
+    D = jnp.where(ok, D, BIG)
+    best = jnp.argmin(D, axis=1)
+    d_best = jnp.take_along_axis(D, best[:, None], axis=1)[:, 0]
+    valid = d_best <= max_dist
+    uR = jnp.take_along_axis(fR.uv[:, 0][None, :], best[None, :], axis=1)[0]
+    disparity = jnp.maximum(fL.uv[:, 0] - uR, 0.01)
+    depth = jnp.where(valid, bf / disparity, 0.0)
+    return StereoMatches(
+        u_right=jnp.where(valid, uR, -1.0),
+        depth=depth,
+        valid=valid,
+    )
+
+
 def search_by_projection(
     world: jnp.ndarray,  # [M, 3] map-point positions
     descriptors: jnp.ndarray,  # [M, 8] representative descriptors

@@ -23,11 +23,25 @@ def _load() -> Optional[ctypes.CDLL]:
     if _TRIED:
         return _LIB
     _TRIED = True
-    path = os.path.join(
+    native_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "native",
-        "libgsorb_native.so",
     )
+    path = os.path.join(native_dir, "libgsorb_native.so")
+    if not os.path.exists(path):
+        # Build on first use (the binary is not versioned): ~1s with g++.
+        src = os.path.join(native_dir, "gsorb_native.cpp")
+        if os.path.exists(src):
+            import subprocess
+
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", src,
+                     "-o", path],
+                    check=True, capture_output=True, timeout=120,
+                )
+            except Exception:
+                return None
     if not os.path.exists(path):
         return None
     lib = ctypes.CDLL(path)

@@ -52,12 +52,17 @@ def _pattern() -> np.ndarray:
 class ORBFeatures(NamedTuple):
     """Padded per-frame features (capacity ``N``, ``valid`` marks real rows)."""
 
-    uv: jnp.ndarray  # [N, 2] level-0 pixel coords
+    uv: jnp.ndarray  # [N, 2] level-0 pixel coords, UNDISTORTED when the
+    #   camera has lens distortion (the reference's mvKeysUn — all matching,
+    #   BA and reprojection consume these)
     response: jnp.ndarray  # [N]
     angle: jnp.ndarray  # [N] radians
     octave: jnp.ndarray  # [N] int32 pyramid level
     descriptors: jnp.ndarray  # [N, 8] uint32 (256-bit rBRIEF)
     valid: jnp.ndarray  # [N] bool
+    uv_raw: jnp.ndarray = None  # [N, 2] raw (distorted) image coords — the
+    #   reference's mvKeys; used ONLY for image-space lookups (depth at the
+    #   keypoint). Equal to ``uv`` for distortion-free cameras.
 
     def count(self):
         return jnp.sum(self.valid.astype(jnp.int32))
@@ -228,13 +233,15 @@ def extract_orb(
         vals.append(v)
         octs.append(jnp.full(uv.shape[0], l, jnp.int32))
 
+    uv = jnp.concatenate(uvs)
     return ORBFeatures(
-        uv=jnp.concatenate(uvs),
+        uv=uv,
         response=jnp.concatenate(rs),
         angle=jnp.concatenate(angs),
         octave=jnp.concatenate(octs),
         descriptors=jnp.concatenate(descs),
         valid=jnp.concatenate(vals),
+        uv_raw=uv,
     )
 
 

@@ -155,6 +155,42 @@ def build_vocabulary(
     )
 
 
+def save_orbvoc_text(voc: Vocabulary, path: str) -> None:
+    """Write the DBoW2 text format (``TemplatedVocabulary::saveToTextFile``):
+    header ``k L scoring weighting``; one line per non-root node in an order
+    where every parent precedes its children (BFS): ``parent_id is_leaf
+    b0..b31 weight``. Node ids in the file are implicit (1-based creation
+    order), so the writer renumbers via the BFS traversal — a reloaded
+    vocabulary assigns identical words for every descriptor (round-trip
+    parity test)."""
+    # BFS order with renumbering old-id -> file-id.
+    order: list[int] = []
+    fid = {0: 0}
+    queue = [0]
+    while queue:
+        nid = queue.pop(0)
+        for c in voc.children[nid]:
+            if c >= 0:
+                fid[int(c)] = len(order) + 1
+                order.append(int(c))
+                queue.append(int(c))
+    with open(path, "w") as f:
+        f.write(f"{voc.k} {voc.L} 0 0\n")
+        for nid in order:
+            par = -1
+            # find parent (small vocabularies only; fine for tests/training)
+            rows, cols = np.nonzero(voc.children == nid)
+            par = int(rows[0]) if len(rows) else 0
+            is_leaf = 1 if voc.word_id[nid] >= 0 else 0
+            by = voc.node_desc[nid].astype("<u4").view(np.uint8)
+            w = float(voc.weights[voc.word_id[nid]]) if is_leaf else 0.0
+            f.write(
+                f"{fid[par]} {is_leaf} "
+                + " ".join(str(int(b)) for b in by)
+                + f" {w}\n"
+            )
+
+
 def load_orbvoc_text(path: str) -> Vocabulary:
     """Load the DBoW2 text vocabulary format used by ORB-SLAM2's
     ``ORBvoc.txt``: header ``k L s1 s2``, then one node per line:

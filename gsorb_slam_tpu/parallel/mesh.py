@@ -80,11 +80,14 @@ def parallel_window_step(
     cam: Camera,
     mcfg: MappingConfig,
     rcfg: RasterConfig,
+    local_idx: jnp.ndarray | int = 0,
 ) -> tuple[GaussianMap, jnp.ndarray]:
-    """ONE data-parallel mapping Adam step over all window frames.
+    """ONE data-parallel mapping Adam step: each chip renders the
+    ``local_idx``-th frame of ITS shard (callers rotate ``local_idx`` over
+    iterations so all window frames participate).
 
     Returns (updated replicated map, scalar mean loss). Call under jit; the
-    body runs in ``shard_map`` so each chip renders only its local frames
+    body runs in ``shard_map`` so each chip renders only its local frame
     and the only collective is the gradient ``psum`` riding ICI.
     """
     lrs = map_learning_rates(mcfg)
@@ -93,27 +96,34 @@ def parallel_window_step(
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), (P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS))),
+        in_specs=(
+            P(),
+            (P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS), P(VIEW_AXIS)),
+            P(),
+        ),
         out_specs=(P(), P()),
         # The blend scan's carry is initialized from replicated constants;
         # the varying-manual-axes checker would demand explicit pvary on
         # every init. The psum at the end restores replication regardless.
         check_vma=False,
     )
-    def local_grads(gm_rep, frame_shard):
+    def local_grads(gm_rep, frame_shard, idx):
         colors, depths, poses, b_idx, b_cnt = frame_shard
+        k = jnp.asarray(idx, jnp.int32) % colors.shape[0]
+        pick = lambda a: jax.lax.dynamic_index_in_dim(a, k, keepdims=False)
 
         def loss_fn(params):
             g2 = dataclasses.replace(gm_rep, **params)
             prep = preprocess(
                 g2.means, g2.rgb, g2.quats, g2.logit_opacities, g2.log_scales,
-                g2.active, poses[0], cam, mcfg.scale_modifier,
+                g2.active, pick(poses), cam, mcfg.scale_modifier,
             )
             bins = TileBins(
-                indices=b_idx[0], counts=b_cnt[0], n_dropped=jnp.zeros((), jnp.int32)
+                indices=pick(b_idx), counts=pick(b_cnt),
+                n_dropped=jnp.zeros((), jnp.int32),
             )
             out = render_binned(prep, bins, cam, rcfg, bg=mcfg.background_color)
-            return _mapping_loss(g2, out, colors[0], depths[0], mcfg, False)
+            return _mapping_loss(g2, out, pick(colors), pick(depths), mcfg, False)
 
         loss, grads = jax.value_and_grad(loss_fn)(gm_rep.params())
         grads = jax.tree_util.tree_map(
@@ -126,6 +136,6 @@ def parallel_window_step(
         frames.colors, frames.depths, frames.poses,
         frames.bins_indices, frames.bins_counts,
     )
-    grads, loss = local_grads(gm, frame_tuple)
+    grads, loss = local_grads(gm, frame_tuple, jnp.asarray(local_idx, jnp.int32))
     gm = adam_step(gm, grads, lrs)
     return gm, loss

@@ -287,6 +287,258 @@ class SyntheticDataset(RGBDDataset):
         )
 
 
+class TUMLikeDataset(RGBDDataset):
+    """TUM-fr1-like benchmark stand-in.
+
+    This environment has no network egress, so the real TUM sequences
+    cannot be fetched (``scripts/download_tum.sh`` documents the protocol
+    for machines that can). This dataset reproduces the fr1 WORKLOAD SHAPE
+    so the full-system pipeline — undistortion, ORB tracking, densify, KF
+    pool wrap, loop behavior — is exercised end to end at the real
+    resolution and noise level:
+
+    - TUM1 intrinsics (640x480, fx=517.3) and the TUM1 Brown-Conrady
+      distortion APPLIED to the rendered rgb+depth (the SLAM side must
+      undistort keypoints exactly as on the real sensor),
+    - a textured room: speckle-textured floor/walls plus scattered cuboid
+      clutter rendered from a dense splat surface model,
+    - a handheld trajectory: smooth sweep + per-frame jitter (~1 cm/frame,
+      fr1-like speeds),
+    - the Kinect noise model: depth sigma(z) = 0.0012 + 0.0019 (z-0.4)^2 m,
+      1/5000 m quantization, dropout at grazing angles; rgb shot noise.
+    """
+
+    # TUM1 calibration (Examples/RGB-D/tum/TUM1.yaml)
+    FX, FY, CX, CY = 517.306408, 516.469215, 318.643040, 255.313989
+    DIST = (0.262383, -0.953104, -0.005358, 0.002628, 1.163314)
+
+    def __init__(
+        self,
+        n_frames: int = 100,
+        seed: int = 0,
+        width: int = 640,
+        height: int = 480,
+        apply_distortion: bool = True,
+        noise: bool = True,
+        splat_spacing: float = 0.02,
+        cache_dir: Optional[str] = None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from gsorb_slam_tpu.core.camera import Camera
+        from gsorb_slam_tpu.raster import RasterConfig, render
+
+        s = width / 640.0
+        self.cam = Camera(
+            fx=self.FX * s, fy=self.FY * s, cx=self.CX * s, cy=self.CY * s,
+            width=width, height=height,
+        )
+        self.apply_distortion = apply_distortion
+        rng = np.random.default_rng(seed)
+
+        cache = None
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
+            cache = os.path.join(
+                cache_dir,
+                f"tumlike_{n_frames}_{seed}_{width}x{height}"
+                f"_{int(apply_distortion)}_{int(noise)}.npz",
+            )
+            if os.path.exists(cache):
+                z = np.load(cache)
+                self.frames = [
+                    (z["rgb"][i], z["depth"][i]) for i in range(len(z["rgb"]))
+                ]
+                self.poses = list(z["poses"])
+                return
+
+        means, rgb = self._build_room(rng, splat_spacing)
+        n = len(means)
+        quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+        logit_op = np.full(n, 7.0, np.float32)
+        log_scales = np.log(
+            np.full((n, 3), splat_spacing * 0.9, np.float32)
+        )
+
+        rcfg = RasterConfig(
+            tile=16, tile_capacity=2048, max_dup=16,
+            chunk=256 if jax.default_backend() == "tpu" else 128,
+            dilate_px=2.0,
+        )
+        rfn = jax.jit(
+            lambda T: render(
+                jnp.asarray(means), jnp.asarray(rgb), jnp.asarray(quats),
+                jnp.asarray(logit_op), jnp.asarray(log_scales),
+                jnp.ones(n, bool), T, self.cam, rcfg,
+            )
+        )
+
+        # distortion warp maps (I_observed(x) = I_ideal(undistort(x)))
+        maps = None
+        if apply_distortion:
+            maps = self._undistort_maps()
+
+        self.poses = []
+        self.frames = []
+        jitter = rng.normal(0, 1, (n_frames, 6)).astype(np.float32)
+        # smooth the jitter (handheld shake is low-frequency)
+        k = np.ones(7) / 7.0
+        for c in range(6):
+            jitter[:, c] = np.convolve(jitter[:, c], k, mode="same")
+        for i in range(n_frames):
+            t = i / max(n_frames - 1, 1)
+            T_cw = self._pose(t, jitter[i])
+            out = rfn(jnp.asarray(T_cw))
+            color = np.clip(np.asarray(out.color), 0, 1)
+            depth = np.asarray(out.median_depth)
+            alpha = np.asarray(out.alpha)
+            depth = np.where(alpha > 0.5, depth, 0.0)
+            if maps is not None:
+                import cv2
+
+                color = cv2.remap(
+                    color, maps[0], maps[1], cv2.INTER_LINEAR,
+                    borderMode=cv2.BORDER_CONSTANT,
+                )
+                depth = cv2.remap(
+                    depth, maps[0], maps[1], cv2.INTER_NEAREST,
+                    borderMode=cv2.BORDER_CONSTANT,
+                )
+            if noise:
+                sig = 0.0012 + 0.0019 * np.square(np.maximum(depth - 0.4, 0.0))
+                depth = depth + rng.normal(0, 1, depth.shape) * sig
+                depth = np.round(depth * 5000.0) / 5000.0  # sensor quantization
+                drop = rng.uniform(size=depth.shape) < 0.01
+                depth = np.where(drop | (depth <= 0.05), 0.0, depth)
+                color = np.clip(
+                    color + rng.normal(0, 0.008, color.shape), 0, 1
+                ).astype(np.float32)
+            self.frames.append((color.astype(np.float32), depth.astype(np.float32)))
+            self.poses.append(T_cw)
+
+        if cache:
+            np.savez_compressed(
+                cache,
+                rgb=np.stack([f[0] for f in self.frames]),
+                depth=np.stack([f[1] for f in self.frames]),
+                poses=np.stack(self.poses),
+            )
+
+    def _build_room(self, rng, spacing):
+        """Speckle-textured room surfaces + clutter as a dense splat cloud."""
+
+        def speckle(base, pts, scale=1.5):
+            # hash-based per-cell color speckle (stable, high-contrast for FAST)
+            cells = np.floor(pts * 12.0).astype(np.int64)
+            h = (cells[:, 0] * 73856093) ^ (cells[:, 1] * 19349663) ^ (
+                cells[:, 2] * 83492791
+            )
+            u = ((h % 1000) / 1000.0).astype(np.float32)
+            col = np.asarray(base, np.float32)[None] * (0.45 + 0.9 * u[:, None])
+            tint = np.stack(
+                [((h >> 3) % 7) / 7.0, ((h >> 6) % 5) / 5.0, ((h >> 9) % 9) / 9.0],
+                -1,
+            ).astype(np.float32)
+            return np.clip(0.75 * col + 0.25 * tint, 0.02, 1.0)
+
+        def plane(p0, du, dv, nu, nv, base):
+            uu, vv = np.meshgrid(np.linspace(0, 1, nu), np.linspace(0, 1, nv))
+            pts = (
+                np.asarray(p0)[None]
+                + uu.reshape(-1, 1) * np.asarray(du)[None]
+                + vv.reshape(-1, 1) * np.asarray(dv)[None]
+            ).astype(np.float32)
+            pts += rng.normal(0, spacing * 0.15, pts.shape).astype(np.float32)
+            return pts, speckle(base, pts)
+
+        n_of = lambda length: max(int(length / spacing), 2)
+        parts = [
+            # floor y=+1.1, 6m x 5m
+            plane([-3.0, 1.1, 0.5], [6, 0, 0], [0, 0, 5], n_of(6), n_of(5),
+                  [0.55, 0.45, 0.35]),
+            # back wall z=5.5
+            plane([-3.0, -1.6, 5.5], [6, 0, 0], [0, 2.7, 0], n_of(6), n_of(2.7),
+                  [0.75, 0.72, 0.65]),
+            # left wall x=-3
+            plane([-3.0, -1.6, 0.5], [0, 0, 5], [0, 2.7, 0], n_of(5), n_of(2.7),
+                  [0.62, 0.68, 0.72]),
+            # right wall x=+3
+            plane([3.0, -1.6, 0.5], [0, 0, 5], [0, 2.7, 0], n_of(5), n_of(2.7),
+                  [0.7, 0.62, 0.58]),
+        ]
+        # clutter: cuboid faces at random poses (desk-scene stand-ins)
+        for _ in range(25):
+            c = np.array(
+                [rng.uniform(-2.2, 2.2), rng.uniform(0.2, 1.0), rng.uniform(1.2, 4.6)]
+            )
+            sz = rng.uniform(0.12, 0.5, 3)
+            base = rng.uniform(0.15, 0.95, 3)
+            for axis in range(3):
+                for sgn in (-1, 1):
+                    du = np.zeros(3)
+                    dv = np.zeros(3)
+                    du[(axis + 1) % 3] = sz[(axis + 1) % 3]
+                    dv[(axis + 2) % 3] = sz[(axis + 2) % 3]
+                    p0 = c - du / 2 - dv / 2
+                    p0[axis] += sgn * sz[axis] / 2
+                    parts.append(
+                        plane(p0, du, dv,
+                              max(int(np.linalg.norm(du) / spacing), 2),
+                              max(int(np.linalg.norm(dv) / spacing), 2), base)
+                    )
+        means = np.concatenate([p[0] for p in parts])
+        cols = np.concatenate([p[1] for p in parts])
+        return means.astype(np.float32), cols.astype(np.float32)
+
+    def _pose(self, t, jit6):
+        """fr1-like handheld sweep: orbit segment + smoothed shake."""
+        ang = 0.5 * np.sin(2 * np.pi * t * 0.7) + 0.015 * jit6[3]
+        tilt = 0.08 * np.sin(2 * np.pi * t * 1.3) + 0.01 * jit6[4]
+        roll = 0.03 * np.sin(2 * np.pi * t * 2.1) + 0.008 * jit6[5]
+        ca, sa = np.cos(ang), np.sin(ang)
+        cb, sb = np.cos(tilt), np.sin(tilt)
+        cr, sr = np.cos(roll), np.sin(roll)
+        Ry = np.array([[ca, 0, -sa], [0, 1, 0], [sa, 0, ca]], np.float32)
+        Rx = np.array([[1, 0, 0], [0, cb, -sb], [0, sb, cb]], np.float32)
+        Rz = np.array([[cr, -sr, 0], [sr, cr, 0], [0, 0, 1]], np.float32)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = Rz @ Rx @ Ry
+        T[:3, 3] = [
+            0.8 * np.sin(2 * np.pi * t * 0.5) + 0.008 * jit6[0],
+            0.15 * np.sin(2 * np.pi * t * 1.1) + 0.006 * jit6[1],
+            0.45 * np.sin(2 * np.pi * t * 0.35) + 0.008 * jit6[2],
+        ]
+        return T
+
+    def _undistort_maps(self):
+        """cv2.remap maps so that I_observed(x) = I_ideal(undistort(x))."""
+        import jax.numpy as jnp
+
+        from gsorb_slam_tpu.core.camera import Distortion, undistort_points
+
+        H, W = self.cam.height, self.cam.width
+        d = Distortion(*self.DIST)
+        uu, vv = np.meshgrid(
+            np.arange(W, dtype=np.float32), np.arange(H, dtype=np.float32)
+        )
+        grid = np.stack([uu.ravel(), vv.ravel()], -1)
+        und = np.asarray(undistort_points(self.cam, d, jnp.asarray(grid)))
+        mapx = und[:, 0].reshape(H, W).astype(np.float32)
+        mapy = und[:, 1].reshape(H, W).astype(np.float32)
+        return mapx, mapy
+
+    def __len__(self):
+        return len(self.frames)
+
+    def __getitem__(self, i):
+        color, depth = self.frames[i]
+        return RGBDFrame(
+            timestamp=float(i) / 30.0, rgb=color, depth=depth,
+            gt_T_cw=self.poses[i],
+        )
+
+
 def open_dataset(kind: str, path: str, depth_factor: float) -> RGBDDataset:
     kind = kind.lower()
     if kind == "tum":

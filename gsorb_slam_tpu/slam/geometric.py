@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gsorb_slam_tpu.core.camera import Camera
+from gsorb_slam_tpu.core.camera import Camera, Distortion, undistort_points
 from gsorb_slam_tpu.core.config import ORBConfig
 from gsorb_slam_tpu.frontend import ba
 from gsorb_slam_tpu.frontend.matcher import search_by_projection
@@ -64,8 +64,12 @@ class GeometricFrontend:
         match_capacity: int = 512,
         local_ba_every: int = 3,
         seed: int = 0,
+        dist: Distortion | None = None,
+        bf: float = 0.0,  # stereo baseline * fx (for stereo BA edges)
     ):
         self.cam = cam
+        self.dist = dist if dist is not None else Distortion()
+        self.bf = bf
         self.orb_cfg = orb_cfg
         self.th_depth = th_depth
         self.match_capacity = match_capacity
@@ -83,7 +87,32 @@ class GeometricFrontend:
 
         self.keyframes: list[KeyFrameFeatures] = []
         self.kf_counter = 0
-        self._extract = jax.jit(lambda g: extract_orb(g, orb_cfg))
+
+        def _extract_undistorted(g):
+            feats = extract_orb(g, orb_cfg)
+            if self.dist.is_zero():
+                return feats
+            # Frame::UndistortKeyPoints: remap keypoint COORDS to the ideal
+            # pinhole model; descriptors stay sampled on the raw image and
+            # uv_raw keeps the raw coords for depth lookups.
+            return feats._replace(
+                uv=undistort_points(cam, self.dist, feats.uv)
+            )
+
+        self._extract_jit = jax.jit(_extract_undistorted)
+
+        def _extract_full(g):
+            feats = self._extract_jit(g)
+            # Exact DistributeOctTree selection via the native quad-tree when
+            # the library is built (frontend/native.py builds it on demand).
+            from gsorb_slam_tpu.frontend.native import have_native
+            from gsorb_slam_tpu.frontend.orb import quadtree_refine
+
+            if have_native():
+                feats = quadtree_refine(feats, orb_cfg)
+            return feats
+
+        self._extract = _extract_full
         self.rng = np.random.default_rng(seed)
 
     # ------------------------------------------------------------- tracking
@@ -95,8 +124,19 @@ class GeometricFrontend:
             ids = ids[-max_pts:]
         return ids
 
-    def process_frame(self, gray: np.ndarray, T_pred: np.ndarray) -> FrontendResult:
-        feats = self._extract(jnp.asarray(gray))
+    def process_frame(
+        self,
+        gray: np.ndarray,
+        T_pred: np.ndarray,
+        feats: Optional[ORBFeatures] = None,
+        kp_ur: Optional[np.ndarray] = None,  # [N] right-image u (<0 = mono)
+    ) -> FrontendResult:
+        """Track the local map in one frame. ``kp_ur`` (from
+        :func:`frontend.matcher.compute_stereo_matches`) switches matched
+        observations to 3-DoF stereo BA edges, the reference's
+        ``mvuRight >= 0`` path (``src/Optimizer.cc:300-380``)."""
+        if feats is None:
+            feats = self._extract(jnp.asarray(gray))
         ids = self.local_map_points()
         empty = FeatureMatches.empty(self.match_capacity)
         if len(ids) < 20:
@@ -122,6 +162,11 @@ class GeometricFrontend:
         uv = np.asarray(feats.uv)[kp_idx[mv]]
         octv = np.asarray(feats.octave)[kp_idx[mv]]
         inv_s2 = (1.0 / self.sigma2[octv]).astype(np.float32)
+        ur = (
+            np.asarray(kp_ur, np.float32)[kp_idx[mv]]
+            if kp_ur is not None
+            else None
+        )
 
         res = ba.pose_optimization(
             jnp.asarray(T_pred),
@@ -130,6 +175,8 @@ class GeometricFrontend:
             jnp.asarray(inv_s2),
             jnp.ones(n, bool),
             self.cam,
+            obs_ur=jnp.asarray(ur) if ur is not None else None,
+            bf=self.bf,
         )
         inl = np.asarray(res.inliers)
         self.pt_found[ids[mv][inl]] += 1
@@ -167,19 +214,31 @@ class GeometricFrontend:
         T_cw: np.ndarray,
         frame_id: int,
         max_new_points: int = 400,
+        kp_depth: Optional[np.ndarray] = None,  # [N] per-keypoint depth
+        run_local_mapping: bool = True,  # False: primitives only (tests)
     ) -> KeyFrameFeatures:
         """Backproject depth at (unmatched) keypoints into new map points —
         the RGB-D close-point creation of ``CreateNewKeyFrame``
-        (``src/Tracking.cc:1446-1510``: closest-first, capped)."""
+        (``src/Tracking.cc:1446-1510``: closest-first, capped). For stereo,
+        ``kp_depth`` carries descriptor-matched disparity depths
+        (``ComputeStereoMatches``) instead of a dense depth-image lookup."""
         v = np.asarray(feats.valid)
-        uv = np.asarray(feats.uv)
+        uv = np.asarray(feats.uv)  # undistorted: used for unprojection
+        uv_raw = np.asarray(feats.uv_raw if feats.uv_raw is not None else feats.uv)
         desc = np.asarray(feats.descriptors)
         N = len(uv)
         point_ids = np.full(N, -1, np.int32)
 
-        ui = np.clip(uv[:, 0].astype(int), 0, depth.shape[1] - 1)
-        vi = np.clip(uv[:, 1].astype(int), 0, depth.shape[0] - 1)
-        z = depth[vi, ui]
+        if kp_depth is not None:
+            z = np.asarray(kp_depth, np.float32)
+        else:
+            # Depth is sampled at the RAW image location (the sensor grid),
+            # the ray is cast through the UNDISTORTED coords —
+            # Frame::UnprojectStereo uses mvKeysUn with mvDepth taken at
+            # mvKeys (src/Frame.cc).
+            ui = np.clip(uv_raw[:, 0].astype(int), 0, depth.shape[1] - 1)
+            vi = np.clip(uv_raw[:, 1].astype(int), 0, depth.shape[0] - 1)
+            z = depth[vi, ui]
         ok = v & (z > 0)
         order = np.argsort(np.where(ok, z, np.inf))
         created = 0
@@ -222,11 +281,27 @@ class GeometricFrontend:
         self.keyframes.append(kf)
         self.kf_counter += 1
 
+        # LocalMapping::Run sequence per inserted keyframe
+        # (src/LocalMapping.cc:48-648): MapPointCulling ->
+        # CreateNewMapPoints (epipolar triangulation vs covisible
+        # neighbors) -> SearchInNeighbors/Fuse -> LBA -> KeyFrameCulling.
         self.last_adjusted: list[int] = []
-        if self.kf_counter % self.local_ba_every == 0 and len(self.keyframes) >= 3:
-            self.last_adjusted = self.local_ba()
-        if self.kf_counter % 5 == 0:
+        if run_local_mapping and len(self.keyframes) >= 2:
             self.cull_points()
+            by_id = {k.kf_id: k for k in self.keyframes}
+            for cid, _w in self.covisibility(kf)[:2]:
+                other = by_id.get(cid)
+                if other is not None:
+                    self.create_new_map_points(kf, other)
+            self.fuse_duplicates(kf)
+        if (
+            run_local_mapping
+            and self.kf_counter % self.local_ba_every == 0
+            and len(self.keyframes) >= 3
+        ):
+            self.last_adjusted = self.local_ba()
+        if run_local_mapping and self.kf_counter % 10 == 0 and len(self.keyframes) > 4:
+            self.cull_keyframes()
         return kf
 
     # -------------------------------------------------------- local mapping
@@ -286,11 +361,38 @@ class GeometricFrontend:
         X = np.asarray(
             triangulate(jnp.asarray(P1), jnp.asarray(P2), jnp.asarray(uv1), jnp.asarray(uv2))
         )
-        # Cheirality + reprojection gates.
-        z1 = (X @ kf1.T_cw[:3, :3].T + kf1.T_cw[:3, 3])[:, 2]
-        z2 = (X @ kf2.T_cw[:3, :3].T + kf2.T_cw[:3, 3])[:, 2]
+        # Cheirality + parallax + reprojection gates
+        # (LocalMapping::CreateNewMapPoints src/LocalMapping.cc:213: rejects
+        # low-parallax rays and >5.991*sigma reprojection residuals — without
+        # these, quasi-infinite triangulations poison the local BA).
+        xc1 = X @ kf1.T_cw[:3, :3].T + kf1.T_cw[:3, 3]
+        xc2 = X @ kf2.T_cw[:3, :3].T + kf2.T_cw[:3, 3]
+        z1, z2 = xc1[:, 2], xc2[:, 2]
         finite = np.isfinite(X).all(1)
-        good = finite & (z1 > 0.05) & (z2 > 0.05) & (np.abs(X) < 1e3).all(1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r1 = xc1[:, :2] / np.maximum(z1[:, None], 1e-9)
+            r2 = xc2[:, :2] / np.maximum(z2[:, None], 1e-9)
+            p1u = r1 * [self.cam.fx, self.cam.fy] + [self.cam.cx, self.cam.cy]
+            p2u = r2 * [self.cam.fx, self.cam.fy] + [self.cam.cx, self.cam.cy]
+            e1 = np.linalg.norm(p1u - uv1, axis=-1)
+            e2 = np.linalg.norm(p2u - uv2, axis=-1)
+            # parallax between viewing rays (world frame)
+            c1w = -kf1.T_cw[:3, :3].T @ kf1.T_cw[:3, 3]
+            c2w = -kf2.T_cw[:3, :3].T @ kf2.T_cw[:3, 3]
+            ray1 = X - c1w
+            ray2 = X - c2w
+            cosp = np.sum(ray1 * ray2, -1) / np.maximum(
+                np.linalg.norm(ray1, axis=-1) * np.linalg.norm(ray2, axis=-1), 1e-12
+            )
+        good = (
+            finite
+            & (z1 > 0.05)
+            & (z2 > 0.05)
+            & (np.abs(X) < 1e3).all(1)
+            & (e1 < 2.45)  # sqrt(5.991) px at octave 0
+            & (e2 < 2.45)
+            & (cosp < 0.9998)  # reject near-zero parallax
+        )
         created = 0
         desc1 = np.asarray(kf1.feats.descriptors)
         for j in np.nonzero(good)[0][:max_new]:
@@ -373,15 +475,34 @@ class GeometricFrontend:
         self.keyframes = [kf for kf in self.keyframes if kf.kf_id not in set(culled)]
         return culled
 
-    def relocalize(self, feats: ORBFeatures, n_candidates: int = 3):
+    def relocalize(self, feats: ORBFeatures, n_candidates: int = 3, kfdb=None):
         """Relocalization (``Tracking::Relocalization`` ``src/Tracking.cc:1718``):
-        score keyframes by descriptor matches, run robust PnP against the
-        best candidates' map points. Returns T_cw or None."""
+        retrieve candidate keyframes, run robust PnP against their map
+        points. Returns T_cw or None.
+
+        With a ``KeyFrameDatabase`` (``kfdb``), candidates come from the
+        inverted BoW index over ALL keyframes
+        (``KeyFrameDatabase::DetectRelocalizationCandidates``,
+        ``src/KeyFrameDatabase.cc:199``) — O(shared words), and able to
+        relocalize against arbitrarily old map regions. Without one, fall
+        back to brute-force descriptor scoring of the 20 most recent KFs.
+        """
         from gsorb_slam_tpu.frontend.matcher import match_descriptors
         from gsorb_slam_tpu.frontend.pnp import ransac_pnp
 
+        if kfdb is not None and kfdb.bows:
+            by_id = {kf.kf_id: kf for kf in self.keyframes}
+            cands = [
+                by_id[cid]
+                for cid, _s in kfdb.query_descriptors(
+                    feats.descriptors, feats.valid
+                )
+                if cid in by_id
+            ][: max(n_candidates * 2, 5)]
+        else:
+            cands = self.keyframes[-20:]
         scored = []
-        for kf in self.keyframes[-20:]:
+        for kf in cands:
             m = match_descriptors(feats, kf.feats, max_dist=64)
             scored.append((int(np.asarray(m.valid).sum()), kf, m))
         scored.sort(key=lambda x: -x[0])
@@ -406,6 +527,13 @@ class GeometricFrontend:
             if res is not None and res.n_inliers >= 15:
                 return res.T_cw
         return None
+
+    def global_ba(self, outer_iters: int = 10) -> list[int]:
+        """Full bundle adjustment over every keyframe and its points — the
+        post-loop ``RunGlobalBundleAdjustment`` (``src/LoopClosing.cc:648`` ->
+        ``Optimizer::GlobalBundleAdjustemnt`` ``src/Optimizer.cc:41``),
+        expressed as the local-BA solver over the whole graph."""
+        return self.local_ba(n_kfs=len(self.keyframes), outer_iters=outer_iters)
 
     def local_ba(self, n_kfs: int = 6, outer_iters: int = 8) -> list[int]:
         """Local BA over the most recent keyframes + their points. Returns

@@ -41,6 +41,39 @@ class KeyFrameDatabase:
         for w in bow:
             self.inverted.setdefault(w, set()).add(kf_id)
 
+    def query_descriptors(
+        self, descriptors, valid, exclude: set[int] = frozenset(),
+        rel_factor: float = 0.75,
+    ) -> list[tuple[int, float]]:
+        """Relocalization retrieval for a FRAME (not yet a keyframe):
+        candidates sharing words with the query, kept within
+        ``rel_factor`` of the best score —
+        ``KeyFrameDatabase::DetectRelocalizationCandidates``
+        (``src/KeyFrameDatabase.cc:199``: word-sharing prefilter at 0.8 of
+        max-common, then 0.75 * best-accumulated-score gate)."""
+        bow = self.vocab.bow_vector(descriptors, valid)
+        if not bow:
+            return []
+        sharing: dict[int, int] = {}
+        for w in bow:
+            for other in self.inverted.get(w, ()):
+                if other not in exclude:
+                    sharing[other] = sharing.get(other, 0) + 1
+        if not sharing:
+            return []
+        max_common = max(sharing.values())
+        scored = [
+            (other, score_l1(bow, self.bows[other]))
+            for other, common in sharing.items()
+            if common >= 0.8 * max_common
+        ]
+        if not scored:
+            return []
+        best = max(s for _, s in scored)
+        out = [(o, s) for o, s in scored if s >= rel_factor * best]
+        out.sort(key=lambda x: -x[1])
+        return out
+
     def query(
         self, kf_id: int, exclude: set[int], min_score: float
     ) -> list[tuple[int, float]]:
@@ -141,11 +174,28 @@ class LoopCloser:
         )
         if int(res.n_inliers) < self.min_inliers:
             return None
+        # Iterative inlier refinement — the ``OptimizeSim3`` analog
+        # (``src/Optimizer.cc:1047``: optimize, drop chi2 outliers, optimize
+        # again). Re-gate on 3D residuals against a shrinking threshold and
+        # refit Horn on the surviving set.
+        R = np.asarray(res.R)
+        t = np.asarray(res.t)
+        inl = np.asarray(res.inliers)
+        for th in (0.10, 0.07, 0.05):
+            r = x2 - (x1 @ R.T + t)
+            d = np.linalg.norm(r, axis=-1)
+            inl = d < th
+            if inl.sum() < self.min_inliers:
+                return None
+            _s, Rr, tr = S3.horn_alignment(
+                jnp.asarray(x1[inl]), jnp.asarray(x2[inl]), fix_scale=True
+            )
+            R, t = np.asarray(Rr), np.asarray(tr)
         # World-frame drift correction: x2 = R x1 + t maps query-side point
         # coordinates onto match-side (older, drift-free) coordinates.
         T_corr = np.eye(4, dtype=np.float32)
-        T_corr[:3, :3] = np.asarray(res.R)
-        T_corr[:3, 3] = np.asarray(res.t)
+        T_corr[:3, :3] = R
+        T_corr[:3, 3] = t
         return T_corr
 
     def correct(

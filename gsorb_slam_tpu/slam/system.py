@@ -83,6 +83,7 @@ class System:
         vocabulary=None,  # frontend.vocab.Vocabulary for loop closing
         mono_min_matches: int = 60,
         mono_min_inliers: int = 50,
+        use_mesh: bool = False,  # data-parallel window mapping over devices
     ):
         self.mono_min_matches = mono_min_matches
         self.mono_min_inliers = mono_min_inliers
@@ -95,6 +96,7 @@ class System:
         self.fe = None
         self.loop_closer = None
         if frontend == "orb":
+            from gsorb_slam_tpu.core.camera import Distortion
             from gsorb_slam_tpu.slam.geometric import GeometricFrontend
 
             self.fe = GeometricFrontend(
@@ -102,6 +104,10 @@ class System:
                 self.cfg.orb,
                 th_depth=cc.bf / cc.fx * cc.th_depth,
                 seed=seed,
+                dist=Distortion(
+                    k1=cc.k1, k2=cc.k2, p1=cc.p1, p2=cc.p2, k3=cc.k3
+                ),
+                bf=cc.bf,
             )
             if vocabulary is not None and self.cfg.debug.use_loop:
                 from gsorb_slam_tpu.slam.loop import LoopCloser
@@ -149,7 +155,60 @@ class System:
 
         self.timings = {"track": 0.0, "map": 0.0, "n_track": 0, "n_map": 0}
         self.loop_events: list[tuple[int, int, int]] = []
+
+        # Multi-device window mapping (SURVEY.md §2.3 obligation): map
+        # replicated, window views sharded, gradient psum over ICI. Batched-
+        # window semantics: each Adam step consumes ALL window frames at
+        # once (vs the reference's one-random-frame-per-iteration,
+        # src/Render.cc:420-483) — a large-batch variant, n_dev gradient
+        # samples per step.
+        self.mesh = None
+        if use_mesh and len(jax.devices()) > 1:
+            from gsorb_slam_tpu.parallel import mesh as PM
+
+            self.mesh = PM.make_mesh()
+            self._mesh_mod = PM
+            mcfg, rcfg_ = self.cfg.mapping, self.rcfg
+            cam_ = self.cam
+
+            @jax.jit
+            def _mesh_step(gm, frames, local_idx):
+                return PM.parallel_window_step(
+                    gm, frames, self.mesh, cam_, mcfg, rcfg_,
+                    local_idx=local_idx,
+                )
+
+            self._mesh_step = _mesh_step
+
         self._build_jits()
+
+    def _map_window_mesh(self, frames: "M.WindowFrames", n_iters: int):
+        """Data-parallel mapping: pad the window to a mesh multiple and run
+        ``n_iters`` batched steps (one gradient psum per step)."""
+        PM = self._mesh_mod
+        n_dev = self.mesh.shape[PM.VIEW_AXIS]
+        W = int(frames.colors.shape[0])
+        pad = (-W) % n_dev
+        if pad:
+            tile_first = lambda a: jnp.concatenate(
+                [a, jnp.repeat(a[:1], pad, axis=0)], axis=0
+            )
+            frames = M.WindowFrames(
+                colors=tile_first(frames.colors),
+                depths=tile_first(frames.depths),
+                poses=tile_first(frames.poses),
+                bins_indices=tile_first(frames.bins_indices),
+                bins_counts=tile_first(frames.bins_counts),
+                n_frames=frames.n_frames,
+            )
+        gm = PM.replicate_map(self.gm, self.mesh)
+        frames = PM.shard_frames(frames, self.mesh)
+        losses = []
+        for it in range(n_iters):
+            gm, loss = self._mesh_step(gm, frames, jnp.asarray(it, jnp.int32))
+            losses.append(loss)
+        self.gm = gm
+        return jnp.stack(losses)
 
     # ------------------------------------------------------------------ jits
 
@@ -332,6 +391,19 @@ class System:
         )
         for kf in self.fe.keyframes:
             kf.T_cw = corrected[kf.kf_id]
+        # Post-correction completion (src/LoopClosing.cc:405-660):
+        # SearchAndFuse — project map points into the corrected query KF and
+        # its covisible neighbors and merge duplicates (:590) — then a
+        # global BA over all keyframes+points (RunGlobalBundleAdjustment
+        # :648 -> Optimizer::GlobalBundleAdjustemnt src/Optimizer.cc:41).
+        by_id = {kf.kf_id: kf for kf in self.fe.keyframes}
+        fuse_targets = [fe_kf.kf_id, cand] + [cid for _q, cid, _w in covis]
+        for kid in dict.fromkeys(fuse_targets):
+            kf = by_id.get(kid)
+            if kf is not None:
+                self.fe.fuse_duplicates(kf)
+        adjusted = self.fe.global_ba()
+        self.fe.last_adjusted = adjusted
         self._sync_frontend_poses()
         self._invalidate_all_bins()
         self.loop_events.append((self.frame_id, fe_kf.kf_id, cand))
@@ -344,6 +416,7 @@ class System:
         depth: np.ndarray,
         timestamp: float = 0.0,
         matches: Optional[T.FeatureMatches] = None,
+        stereo_aux: Optional[dict] = None,  # from track_stereo: feats/kp_ur/kp_depth
     ) -> np.ndarray:
         """Process one RGB-D frame; returns the estimated T_cw [4,4].
 
@@ -359,18 +432,24 @@ class System:
         matches = matches if matches is not None else T.FeatureMatches.empty(match_cap)
 
         fe_res = None
+        aux = stereo_aux or {}
         if self.fe is not None:
             gray = (
                 0.299 * rgb_np[..., 0] + 0.587 * rgb_np[..., 1] + 0.114 * rgb_np[..., 2]
             ).astype(np.float32)
             if self.frame_id == 0:
-                feats0 = self.fe._extract(jnp.asarray(gray))
+                feats0 = aux.get("feats")
+                if feats0 is None:
+                    feats0 = self.fe._extract(jnp.asarray(gray))
                 self.fe.create_keyframe(
-                    feats0, depth_np, np.eye(4, dtype=np.float32), frame_id=0
+                    feats0, depth_np, np.eye(4, dtype=np.float32), frame_id=0,
+                    kp_depth=aux.get("kp_depth"),
                 )
             else:
                 T_pred = (self.velocity @ self.last_T_cw).astype(np.float32)
-                fe_res = self.fe.process_frame(gray, T_pred)
+                fe_res = self.fe.process_frame(
+                    gray, T_pred, feats=aux.get("feats"), kp_ur=aux.get("kp_ur")
+                )
 
         if self.frame_id == 0:
             T_cw = np.eye(4, dtype=np.float32)
@@ -378,7 +457,9 @@ class System:
                 color, d, T_cw, fe_kf_id=0 if self.fe is not None else -1
             )
         else:
-            T_cw = self._track_and_map(color, d, matches, fe_res, depth_np)
+            T_cw = self._track_and_map(
+                color, d, matches, fe_res, depth_np, kp_depth=aux.get("kp_depth")
+            )
 
         self.last_T_cw = T_cw
         rec = self.trajectory[-1]
@@ -415,7 +496,9 @@ class System:
             FrameRecord(self.frame_id, 0.0, T_cw, True, 0.0, 0)
         )
 
-    def _track_and_map(self, color, depth, matches, fe_res=None, depth_np=None) -> np.ndarray:
+    def _track_and_map(
+        self, color, depth, matches, fe_res=None, depth_np=None, kp_depth=None
+    ) -> np.ndarray:
         cfg = self.cfg
         # Motion model (Tracking::TrackWithMotionModel seed), replaced by the
         # ORB-optimized pose when the geometric front-end succeeded
@@ -435,7 +518,10 @@ class System:
                 n_track_iters = cfg.tracking.lost_num_iters
                 self._lost_streak = getattr(self, "_lost_streak", 0) + 1
                 if self._lost_streak >= 3 and self.fe is not None:
-                    T_reloc = self.fe.relocalize(fe_res.feats)
+                    T_reloc = self.fe.relocalize(
+                        fe_res.feats,
+                        kfdb=self.loop_closer.db if self.loop_closer else None,
+                    )
                     if T_reloc is not None:
                         T_init = T_reloc.astype(np.float32)
                         self.velocity = np.eye(4, dtype=np.float32)
@@ -470,7 +556,8 @@ class System:
             fe_kf = None
             if self.fe is not None and fe_res is not None:
                 fe_kf = self.fe.create_keyframe(
-                    fe_res.feats, depth_np, T_cw, self.frame_id
+                    fe_res.feats, depth_np, T_cw, self.frame_id,
+                    kp_depth=kp_depth,
                 )
             self._create_keyframe(
                 color, depth, T_cw,
@@ -534,10 +621,13 @@ class System:
             cur_bins.indices, cur_bins.counts,
             jnp.asarray(1 + len(win_ids), jnp.int32),
         )
-        self.key, sub = jax.random.split(self.key)
-        self.gm, _losses = self._map_jit(
-            self.gm, frames, sub, n_iters=cfg.mapping.num_iters, init_mode=False
-        )
+        if self.mesh is not None:
+            _losses = self._map_window_mesh(frames, cfg.mapping.num_iters)
+        else:
+            self.key, sub = jax.random.split(self.key)
+            self.gm, _losses = self._map_jit(
+                self.gm, frames, sub, n_iters=cfg.mapping.num_iters, init_mode=False
+            )
         self.timings["map"] += time.perf_counter() - t0
         self.timings["n_map"] += 1
 
@@ -554,29 +644,56 @@ class System:
     def track_stereo(
         self, left: np.ndarray, right: np.ndarray, timestamp: float = 0.0
     ) -> np.ndarray:
-        """Stereo entry point (``System::TrackStereo``): depth from
-        semi-global block matching on the rectified pair (``bf`` baseline
-        from the config), then the RGB-D pipeline. The reference instead
-        matches ORB descriptors across the pair (``ComputeStereoMatches``);
-        dense SGBM gives the densification stage full depth coverage."""
+        """Stereo entry point (``System::TrackStereo``).
+
+        Geometric depth comes from ORB descriptor matching along rectified
+        rows — ``Frame::ComputeStereoMatches`` (``src/Frame.cc``) — feeding
+        per-keypoint depths into map-point creation and (u, v, uR) stereo
+        edges into pose optimization (``src/Optimizer.cc:300-380``). Dense
+        SGBM depth remains the densification/mapping source (the reference's
+        stereo path never enters TrackWithGaussian; dense depth lets the GS
+        back-end run for stereo too)."""
         import cv2
 
-        lg = (np.asarray(left, np.float32) * 255).astype(np.uint8)
-        rg = (np.asarray(right, np.float32) * 255).astype(np.uint8)
-        if lg.ndim == 3:
-            lg = cv2.cvtColor(lg, cv2.COLOR_RGB2GRAY)
-            rg = cv2.cvtColor(rg, cv2.COLOR_RGB2GRAY)
+        lg8 = (np.asarray(left, np.float32) * 255).astype(np.uint8)
+        rg8 = (np.asarray(right, np.float32) * 255).astype(np.uint8)
+        if lg8.ndim == 3:
+            lg8 = cv2.cvtColor(lg8, cv2.COLOR_RGB2GRAY)
+            rg8 = cv2.cvtColor(rg8, cv2.COLOR_RGB2GRAY)
         sgbm = cv2.StereoSGBM_create(
             minDisparity=0, numDisparities=96, blockSize=7,
             P1=8 * 49, P2=32 * 49, uniquenessRatio=10,
         )
-        disp = sgbm.compute(lg, rg).astype(np.float32) / 16.0
+        disp = sgbm.compute(lg8, rg8).astype(np.float32) / 16.0
         bf = self.cfg.camera.bf
         depth = np.where(disp > 0.5, bf / np.maximum(disp, 0.5), 0.0)
         rgb = left if np.asarray(left).ndim == 3 else np.repeat(
             np.asarray(left)[..., None], 3, axis=-1
         )
-        return self.track_rgbd(rgb, depth, timestamp)
+
+        stereo_aux = None
+        if self.fe is not None and bf > 0:
+            from gsorb_slam_tpu.frontend.matcher import compute_stereo_matches
+            from gsorb_slam_tpu.frontend.orb import level_sigma2
+
+            gl = lg8.astype(np.float32) / 255.0
+            gr = rg8.astype(np.float32) / 255.0
+            feats_l = self.fe._extract(jnp.asarray(gl))
+            feats_r = self.fe._extract(jnp.asarray(gr))
+            scale_factors = jnp.asarray(
+                np.sqrt(level_sigma2(self.cfg.orb)), jnp.float32
+            )
+            sm = compute_stereo_matches(
+                feats_l, feats_r, bf, min_z=0.3, scale_factors=scale_factors
+            )
+            stereo_aux = dict(
+                feats=feats_l,
+                kp_ur=np.where(
+                    np.asarray(sm.valid), np.asarray(sm.u_right), -1.0
+                ).astype(np.float32),
+                kp_depth=np.asarray(sm.depth, np.float32),
+            )
+        return self.track_rgbd(rgb, depth, timestamp, stereo_aux=stereo_aux)
 
     def track_monocular(
         self, rgb: np.ndarray, timestamp: float = 0.0

@@ -55,7 +55,9 @@ def test_fuse_duplicates_merges(rng):
     # Second keyframe of the same view creates DUPLICATE points for the
     # same physical corners (it doesn't know about kf1's).
     f2 = fe._extract(jnp.asarray(img))
-    kf2 = fe.create_keyframe(f2, depth, np.eye(4, dtype=np.float32), 1)
+    kf2 = fe.create_keyframe(
+        f2, depth, np.eye(4, dtype=np.float32), 1, run_local_mapping=False
+    )
     assert fe.n_points > n_after_kf1
     n_valid_before = int(fe.pt_valid.sum())
     fused = fe.fuse_duplicates(kf2)

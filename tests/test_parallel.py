@@ -120,3 +120,43 @@ def test_parallel_step_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(gm_par.rgb), np.asarray(gm_ref.rgb), atol=1e-6
     )
+
+
+def test_system_mesh_mapping_end_to_end(rng):
+    """System(use_mesh=True) on the 8-virtual-device CPU mesh: tracking +
+    data-parallel window mapping stay finite and converge on a short
+    synthetic sequence (VERDICT r1 item 8: the System-level mesh path)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gsorb_slam_tpu.core.camera import Camera
+    from gsorb_slam_tpu.core.config import (
+        CameraConfig,
+        MappingConfig,
+        SystemConfig,
+        TrackingConfig,
+    )
+    from gsorb_slam_tpu.raster import RasterConfig
+    from gsorb_slam_tpu.slam.dataset import SyntheticDataset
+    from gsorb_slam_tpu.slam.system import System
+
+    rcfg = RasterConfig(tile=16, tile_capacity=512, max_dup=16, chunk=128,
+                        dilate_px=8.0)
+    cam = Camera(fx=90.0, fy=90.0, cx=48.0, cy=36.0, width=96, height=72)
+    cfg = SystemConfig(
+        camera=CameraConfig(width=96, height=72, fx=90.0, fy=90.0,
+                            cx=48.0, cy=36.0, fps=10),
+        mapping=MappingConfig(num_iters=8, init_iters=10, max_gaussians=16384,
+                              window_size=4, covis_window=2),
+        tracking=TrackingConfig(num_iters=10),
+    )
+    ds = SyntheticDataset(cam, n_frames=3, n_splats=2500, seed=3,
+                          motion_scale=0.05)
+    sys_ = System(cfg, max_keyframes=8, raster=rcfg, use_mesh=True)
+    assert sys_.mesh is not None, "8 virtual devices should enable the mesh"
+    for fr in ds:
+        T = sys_.track_rgbd(fr.rgb, fr.depth, fr.timestamp)
+        assert np.isfinite(T).all()
+    assert int(sys_.gm.n_active()) > 1000
+    # the map was actually updated by the mesh path
+    assert float(jnp.sum(jnp.abs(sys_.gm.adam_m["rgb"]))) > 0

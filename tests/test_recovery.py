@@ -43,7 +43,9 @@ def test_cull_keyframes_removes_redundant(rng):
     # for unmatched keypoints — force sharing by reusing point_ids).
     kf0 = fe.create_keyframe(feats, depth, np.eye(4, dtype=np.float32), 0)
     for i in range(1, 5):
-        kf = fe.create_keyframe(feats, depth, np.eye(4, dtype=np.float32), i)
+        kf = fe.create_keyframe(
+            feats, depth, np.eye(4, dtype=np.float32), i, run_local_mapping=False
+        )
         kf.point_ids = kf0.point_ids.copy()
     n_before = len(fe.keyframes)
     culled = fe.cull_keyframes()
