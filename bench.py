@@ -37,8 +37,11 @@ def main() -> None:
     ITERS = 50
 
     cam = Camera(fx=517.3, fy=516.5, cx=318.6, cy=255.3, width=W, height=H)
+    # Production System defaults (slam/system.py): dilate 2 with ONE in-loop
+    # rebin at iteration 16 (tcfg.rebin_iters) — the timed loop INCLUDES the
+    # rebin cost, exactly as a production frame pays it.
     rcfg = RasterConfig(
-        tile=16, tile_capacity=1024, max_dup=16, chunk=256, dilate_px=4.0,
+        tile=16, tile_capacity=1024, max_dup=16, chunk=128, dilate_px=2.0,
         exact_stop=False,  # production default (deviation <= 1e-4)
     )
     tcfg = TrackingConfig(num_iters=ITERS, early_stop_delta=0.0)
@@ -84,10 +87,16 @@ def main() -> None:
     jax.block_until_ready(run(gm, T_init))  # compile
     reps = 3
     best = float("inf")
-    for _ in range(reps):
+    for rep in range(reps):
+        # distinct input per rep: identical (executable, inputs) pairs can
+        # be served from a result cache by the remote execution layer.
+        T_r = T_init.at[0, 3].add(1e-5 * (rep + 1))
+        jax.block_until_ready(T_r)
         t0 = time.perf_counter()
-        jax.block_until_ready(run(gm, T_init))
-        best = min(best, time.perf_counter() - t0)
+        jax.block_until_ready(run(gm, T_r))
+        dt = time.perf_counter() - t0
+        print(f"# rep {rep}: {dt*1e3:.1f} ms", flush=True)
+        best = min(best, dt)
     iters_per_sec = ITERS / best
 
     # Secondary metric: mapping (splat-parameter) optimization iterations —
@@ -112,10 +121,10 @@ def main() -> None:
             gm, frames, key, cam, mcfg, rcfg, num_iters=MAP_ITERS
         )[0].means
     )
-    key = jax.random.PRNGKey(0)
-    jax.block_until_ready(map_run(gm, key))
+    jax.block_until_ready(map_run(gm, jax.random.PRNGKey(0)))
     best_m = float("inf")
-    for _ in range(reps):
+    for rep in range(reps):
+        key = jax.random.PRNGKey(rep + 1)
         t0 = time.perf_counter()
         jax.block_until_ready(map_run(gm, key))
         best_m = min(best_m, time.perf_counter() - t0)

@@ -106,6 +106,11 @@ class TrackingConfig:
     early_stop_delta: float = 1e-3  # |dloss| stop (src/Render.cc:1101-1111)
     n_ref_points: int = 1600  # keyframe ref points (src/Tracking.cc:1331-1343)
     overlap_threshold: float = 0.87  # new-KF overlap gate (src/Tracking.cc:1373)
+    # In-loop rebinning iterations: rebuild tile bins at the current pose at
+    # these iterations so a small dilate_px covers the remaining drift (the
+    # reference re-sorts every rasterization). One early rebin after the
+    # bulk of the pose correction is usually enough.
+    rebin_iters: tuple = (16,)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -121,51 +121,55 @@ def _mm(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=_PREC)
 
 
-def _mm_split2(a: jnp.ndarray, b_exact: jnp.ndarray) -> jnp.ndarray:
-    """a @ b via a 2-pass manual bf16 split of ``a`` against a ``b`` whose
-    bf16 cast is EXACT (0/1 triangular masks; the integer pixel basis).
+def _mm_split2_rev(a_bf16: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a @ b with ``a`` ALREADY bf16 and exactly representable (0/1
+    triangular masks — cast once per kernel, not per chunk) and ``b``
+    manually 2-pass split.
 
-    The MXU accumulates in f32, so with b exact the only error is the
-    16-bit truncation of ``a`` — ~2^-16 relative, ample for same-signed
+    The MXU accumulates in f32, so with a exact the only error is the
+    16-bit truncation of ``b`` — ~2^-16 relative, ample for same-signed
     log-transmittance sums — at 2 bf16 passes instead of HIGHEST's 6.
     """
-    hi = a.astype(jnp.bfloat16)
-    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    bb = b_exact.astype(jnp.bfloat16)
-    return jnp.dot(hi, bb, preferred_element_type=jnp.float32, precision=_DEF) + jnp.dot(
-        lo, bb, preferred_element_type=jnp.float32, precision=_DEF
-    )
-
-
-def _mm_split2_rev(a_exact: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """a @ b with ``a`` exact in bf16 and ``b`` 2-pass split."""
     hi = b.astype(jnp.bfloat16)
     lo = (b - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    aa = a_exact.astype(jnp.bfloat16)
-    return jnp.dot(aa, hi, preferred_element_type=jnp.float32, precision=_DEF) + jnp.dot(
-        aa, lo, preferred_element_type=jnp.float32, precision=_DEF
+    return jnp.dot(a_bf16, hi, preferred_element_type=jnp.float32, precision=_DEF) + jnp.dot(
+        a_bf16, lo, preferred_element_type=jnp.float32, precision=_DEF
     )
 
 
-def _dg00_split(a: jnp.ndarray, b_exact: jnp.ndarray, passes: int = 3) -> jnp.ndarray:
+def _dg00_split(a: jnp.ndarray, b_bf16: jnp.ndarray, passes: int = 3) -> jnp.ndarray:
     """dot_general contracting dim 0 of both, via a ``passes``-way manual
-    bf16 split of ``a`` against an exactly-bf16-representable ``b`` (the
-    integer pixel basis: with tile=16 its entries are integers <= 225 —
-    exact in bf16's 8 mantissa bits). 3 passes give ~f24 products — enough
-    for the cancelling O(1000) terms of ln(alpha) — at half HIGHEST's cost
-    (Mosaic has no native bf16x3 Precision.HIGH lowering)."""
-    bb = b_exact.astype(jnp.bfloat16)
+    bf16 split of ``a`` against an exactly-bf16-representable ``b_bf16``
+    (the integer pixel basis: with tile=16 its entries are integers <= 225
+    — exact in bf16's 8 mantissa bits; pre-cast once per kernel). 3 passes
+    give ~f24 products — enough for the cancelling O(1000) terms of
+    ln(alpha) — at half HIGHEST's cost (Mosaic has no native bf16x3
+    Precision.HIGH lowering)."""
     resid = a
     acc = None
     for _ in range(passes):
         part = resid.astype(jnp.bfloat16)
         resid = resid - part.astype(jnp.float32)
         term = jax.lax.dot_general(
-            part, bb, (((0,), (0,)), ((), ())),
+            part, b_bf16, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_DEF,
         )
         acc = term if acc is None else acc + term
     return acc
+
+
+def _dgT_split2(a_bf16: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Contraction over the LAST dim of both ([m,px] x [n,px] -> [m,n])
+    with ``a`` exact-bf16 (pixel basis) and ``b`` 2-pass split — the
+    backward's pixel reductions."""
+    hi = b.astype(jnp.bfloat16)
+    lo = (b - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dn = (((1,), (1,)), ((), ()))
+    return jax.lax.dot_general(
+        a_bf16, hi, dn, preferred_element_type=jnp.float32, precision=_DEF
+    ) + jax.lax.dot_general(
+        a_bf16, lo, dn, preferred_element_type=jnp.float32, precision=_DEF
+    )
 
 
 def _mm_t(a, b):
@@ -220,14 +224,14 @@ def _chunk_common(chunk, tri_l, pbas, T_in, done, ox, oy, dims: _Dims):
     if dims.bf16:
         cum_excl = _mm(tri_l, s.astype(jnp.bfloat16))
     else:
-        cum_excl = _mm_split2_rev(tri_l, s)
+        cum_excl = _mm_split2_rev(tri_l, s)  # tri_l is bf16 (exact 0/1)
     T_pref = T_in * jnp.exp(cum_excl)  # [K, px]
     one_minus = 1.0 - alpha
     if dims.exact:
         crosses = contrib & (T_pref * one_minus < STOP_T)
         cf = crosses.astype(jnp.bfloat16)
         blocked = (
-            _mm(tri_l.astype(jnp.bfloat16), cf) + cf.astype(jnp.float32)
+            _mm(tri_l, cf) + cf.astype(jnp.float32)
         ) > 0.5  # inclusive cumulative any (0/1 operands: bf16 is exact)
         apply = contrib & jnp.logical_not(blocked)
         done_extra = jnp.any(crosses, axis=0, keepdims=True)
@@ -255,8 +259,13 @@ def _fwd_kernel(
     ox = ((t % dims.tx) * dims.ts).astype(jnp.float32)
     oy = ((t // dims.tx) * dims.ts).astype(jnp.float32)
 
-    pbas_ref[...] = _pixel_basis(dims, t)
-    tri_ref[...] = _tri(K, True, tri_ref.dtype)
+    # Scratch persists across the sequential grid: build the (tile-
+    # independent) pixel basis and triangular masks ONCE — rebuilding +
+    # re-casting the [K, K] masks per tile costs several ms/iteration.
+    @pl.when(t == 0)
+    def _():
+        pbas_ref[...] = _pixel_basis(dims, t).astype(pbas_ref.dtype)
+        tri_ref[...] = _tri(K, True, tri_ref.dtype)
 
     acc_ref[...] = jnp.zeros((8, px), jnp.float32)
     acc_ref[6, :] = jnp.ones((px,), jnp.float32)
@@ -334,9 +343,11 @@ def _bwd_kernel(
     ox = ((t % dims.tx) * dims.ts).astype(jnp.float32)
     oy = ((t // dims.tx) * dims.ts).astype(jnp.float32)
 
-    pbas_ref[...] = _pixel_basis(dims, t)
-    tri_ref[...] = _tri(K, True, tri_ref.dtype)
-    utri_ref[...] = _tri(K, False, utri_ref.dtype)
+    @pl.when(t == 0)
+    def _():
+        pbas_ref[...] = _pixel_basis(dims, t).astype(pbas_ref.dtype)
+        tri_ref[...] = _tri(K, True, tri_ref.dtype)
+        utri_ref[...] = _tri(K, False, utri_ref.dtype)
 
     # G5 [5, px]: dL/d{Cr, Cg, Cb, D, S} pixel rows (static slices, no relayout).
     G5 = gout_ref[0, 0:5, :]
@@ -378,10 +389,7 @@ def _bwd_kernel(
         # All pixel reductions through the polynomial basis, emitted in
         # [1, K] ROW space (column-layout algebra costs ~2x the whole bwd):
         # Srows[b] = sum_px d_power * basis_b  (rows 6,7 of pbas are zero).
-        Srows = jax.lax.dot_general(
-            pbas_ref[...], d_power, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
-        )  # [8, K]
+        Srows = _dgT_split2(pbas_ref[...], d_power)  # [8, K]
         WGrows = jax.lax.dot_general(
             G5, w, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_PREC,
@@ -498,7 +506,6 @@ def _blend(packed, counts, dims: _Dims, interpret: bool):
 
 def _blend_fwd_impl(packed, counts, dims: _Dims, interpret: bool):
     T = dims.n_tiles
-    tri_dtype = jnp.bfloat16 if dims.bf16 else jnp.float32
     out, chunk_t = pl.pallas_call(
         functools.partial(_fwd_kernel, dims=dims),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -521,9 +528,9 @@ def _blend_fwd_impl(packed, counts, dims: _Dims, interpret: bool):
                 ),
             ],
             scratch_shapes=[
-                pltpu.VMEM((8, dims.px), jnp.float32),
-                pltpu.VMEM((8, dims.px), jnp.float32),
-                pltpu.VMEM((dims.K, dims.K), tri_dtype),
+                pltpu.VMEM((8, dims.px), jnp.float32),  # accumulators
+                pltpu.VMEM((8, dims.px), jnp.bfloat16),  # pixel basis (exact)
+                pltpu.VMEM((dims.K, dims.K), jnp.bfloat16),  # tri (exact 0/1)
             ],
         ),
         out_shape=[
@@ -543,7 +550,6 @@ def _blend_vjp_fwd(packed, counts, dims: _Dims, interpret: bool):
 def _blend_vjp_bwd(dims: _Dims, interpret: bool, res, g_out):
     packed, counts, chunk_t = res
     T = dims.n_tiles
-    tri_dtype = jnp.bfloat16 if dims.bf16 else jnp.float32
     grads = pl.pallas_call(
         functools.partial(_bwd_kernel, dims=dims),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -569,9 +575,9 @@ def _blend_vjp_bwd(dims: _Dims, interpret: bool, res, g_out):
             ),
             scratch_shapes=[
                 pltpu.VMEM((1, dims.px), jnp.float32),
-                pltpu.VMEM((8, dims.px), jnp.float32),
-                pltpu.VMEM((dims.K, dims.K), tri_dtype),
-                pltpu.VMEM((dims.K, dims.K), tri_dtype),
+                pltpu.VMEM((8, dims.px), jnp.bfloat16),
+                pltpu.VMEM((dims.K, dims.K), jnp.bfloat16),
+                pltpu.VMEM((dims.K, dims.K), jnp.bfloat16),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((T, 16, dims.cap), jnp.float32),
@@ -663,9 +669,11 @@ def _fused_track_kernel(
     ox = ((t % dims.tx) * dims.ts).astype(jnp.float32)
     oy = ((t // dims.tx) * dims.ts).astype(jnp.float32)
 
-    pbas_ref[...] = _pixel_basis(dims, t)
-    tri_ref[...] = _tri(K, True, tri_ref.dtype)
-    utri_ref[...] = _tri(K, False, utri_ref.dtype)
+    @pl.when(t == 0)
+    def _():
+        pbas_ref[...] = _pixel_basis(dims, t).astype(pbas_ref.dtype)
+        tri_ref[...] = _tri(K, True, tri_ref.dtype)
+        utri_ref[...] = _tri(K, False, utri_ref.dtype)
 
     acc_ref[...] = jnp.zeros((8, px), jnp.float32)
     acc_ref[6, :] = jnp.ones((px,), jnp.float32)
@@ -785,10 +793,7 @@ def _fused_track_kernel(
         d_alpha = jnp.where(apply, T_pref * phi - suffix / one_minus, 0.0)
         unclamped = alpha_a < 0.99
         d_power = jnp.where(apply & unclamped, d_alpha, 0.0) * alpha_a
-        Srows = jax.lax.dot_general(
-            pbas_ref[...], d_power, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
-        )
+        Srows = _dgT_split2(pbas_ref[...], d_power)
         WGrows = jax.lax.dot_general(
             G5, w, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_PREC,
@@ -859,7 +864,6 @@ def tracking_loss_grad(
     if not interpret:
         assert dims.K % 128 == 0, "chunk must be a multiple of 128 on TPU"
     T = dims.n_tiles
-    tri_dtype = jnp.bfloat16 if dims.bf16 else jnp.float32
     grads, loss = pl.pallas_call(
         functools.partial(
             _fused_track_kernel, dims=dims, im_w=float(im_weight),
@@ -892,9 +896,9 @@ def tracking_loss_grad(
                 pltpu.VMEM((cap, dims.px), jnp.float32),  # applied alpha
                 pltpu.VMEM((cap, dims.px), jnp.float32),  # prefix T
                 pltpu.VMEM((8, dims.px), jnp.float32),  # accumulators
-                pltpu.VMEM((8, dims.px), jnp.float32),  # pixel basis
-                pltpu.VMEM((dims.K, dims.K), tri_dtype),
-                pltpu.VMEM((dims.K, dims.K), tri_dtype),
+                pltpu.VMEM((8, dims.px), jnp.bfloat16),  # pixel basis (exact)
+                pltpu.VMEM((dims.K, dims.K), jnp.bfloat16),
+                pltpu.VMEM((dims.K, dims.K), jnp.bfloat16),
             ],
         ),
         out_shape=[

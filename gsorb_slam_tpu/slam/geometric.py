@@ -35,6 +35,24 @@ from gsorb_slam_tpu.frontend.orb import ORBFeatures, extract_orb, level_sigma2
 from gsorb_slam_tpu.slam.tracking import FeatureMatches
 
 
+def _bucket(n: int, lo: int = 64, hi: int = 1 << 20) -> int:
+    """Next power-of-two bucket >= n. EVERY device call in the per-frame
+    loop must use bucketed shapes: a fresh shape means a fresh XLA
+    compilation, and through a remote-compile TPU tunnel that is minutes
+    per frame (measured: the e2e benchmark stalled ~4min/frame before
+    bucketing)."""
+    b = lo
+    while b < n and b < hi:
+        b *= 2
+    return b
+
+
+def _pad_rows(x: np.ndarray, n: int, fill=0.0) -> np.ndarray:
+    out = np.full((n,) + x.shape[1:], fill, x.dtype)
+    out[: min(len(x), n)] = x[:n]
+    return out
+
+
 @dataclasses.dataclass
 class KeyFrameFeatures:
     kf_id: int
@@ -124,6 +142,17 @@ class GeometricFrontend:
             ids = ids[-max_pts:]
         return ids
 
+    def _local_map_padded(self, max_pts: int = 4000):
+        """(ids, world, desc, valid) padded to a power-of-two bucket so the
+        projection-matcher shape is stable across frames."""
+        ids = self.local_map_points(max_pts)
+        cap = min(_bucket(max(len(ids), 1), lo=256), max_pts)
+        world = _pad_rows(self.pt_pos[ids], cap)
+        desc = _pad_rows(self.pt_desc[ids], cap)
+        valid = np.zeros(cap, bool)
+        valid[: min(len(ids), cap)] = self.pt_valid[ids[:cap]]
+        return ids[:cap], world, desc, valid
+
     def process_frame(
         self,
         gray: np.ndarray,
@@ -142,54 +171,60 @@ class GeometricFrontend:
         if len(ids) < 20:
             return FrontendResult(None, empty, 0, 0, 0, feats)
 
+        ids, world_p, desc_p, valid_p = self._local_map_padded()
         m = search_by_projection(
-            jnp.asarray(self.pt_pos[ids]),
-            jnp.asarray(self.pt_desc[ids]),
-            jnp.asarray(self.pt_valid[ids]),
+            jnp.asarray(world_p),
+            jnp.asarray(desc_p),
+            jnp.asarray(valid_p),
             feats,
             jnp.asarray(T_pred),
             self.cam,
             radius=12.0,
         )
-        mv = np.asarray(m.valid)
+        mv = np.asarray(m.valid)[: len(ids)]
         self.pt_visible[ids[mv]] += 1
-        kp_idx = np.asarray(m.idx2)
+        kp_idx = np.asarray(m.idx2)[: len(ids)]
         n = int(mv.sum())
         if n < 10:
             return FrontendResult(None, empty, 0, 0, 0, feats)
 
-        world = self.pt_pos[ids[mv]]
-        uv = np.asarray(feats.uv)[kp_idx[mv]]
-        octv = np.asarray(feats.octave)[kp_idx[mv]]
-        inv_s2 = (1.0 / self.sigma2[octv]).astype(np.float32)
-        ur = (
-            np.asarray(kp_ur, np.float32)[kp_idx[mv]]
-            if kp_ur is not None
-            else None
-        )
+        # Bucketed pose-optimization problem: stable shapes across frames.
+        cap = min(_bucket(n), self.match_capacity * 8)
+        world = _pad_rows(self.pt_pos[ids[mv]][:cap], cap)
+        uv = _pad_rows(np.asarray(feats.uv)[kp_idx[mv]][:cap], cap)
+        octv = np.asarray(feats.octave)[kp_idx[mv]][:cap]
+        inv_s2 = np.ones(cap, np.float32)
+        inv_s2[: len(octv)] = (1.0 / self.sigma2[octv]).astype(np.float32)
+        ovalid = np.zeros(cap, bool)
+        ovalid[: min(n, cap)] = True
+        ur = None
+        if kp_ur is not None:
+            ur = np.full(cap, -1.0, np.float32)
+            ur[: min(n, cap)] = np.asarray(kp_ur, np.float32)[kp_idx[mv]][:cap]
 
         res = ba.pose_optimization(
             jnp.asarray(T_pred),
             jnp.asarray(world),
             jnp.asarray(uv),
             jnp.asarray(inv_s2),
-            jnp.ones(n, bool),
+            jnp.asarray(ovalid),
             self.cam,
             obs_ur=jnp.asarray(ur) if ur is not None else None,
             bf=self.bf,
         )
-        inl = np.asarray(res.inliers)
-        self.pt_found[ids[mv][inl]] += 1
+        inl = np.asarray(res.inliers)[: min(n, cap)]
+        matched_ids = ids[mv][:cap]
+        self.pt_found[matched_ids[inl]] += 1
         n_inl = int(inl.sum())
         T_orb = np.asarray(res.T_cw) if n_inl >= 10 else None
 
         # Padded matches for the GS tracker feature term (inliers only).
-        cap = self.match_capacity
-        sel = np.nonzero(inl)[0][:cap]
-        obs = np.zeros((cap, 2), np.float32)
-        wld = np.zeros((cap, 3), np.float32)
-        isg = np.ones(cap, np.float32)
-        val = np.zeros(cap, bool)
+        mcap = self.match_capacity
+        sel = np.nonzero(inl)[0][:mcap]
+        obs = np.zeros((mcap, 2), np.float32)
+        wld = np.zeros((mcap, 3), np.float32)
+        isg = np.ones(mcap, np.float32)
+        val = np.zeros(mcap, bool)
         obs[: len(sel)] = uv[sel]
         wld[: len(sel)] = world[sel]
         isg[: len(sel)] = inv_s2[sel]
@@ -358,9 +393,16 @@ class GeometricFrontend:
         uv2 = np.asarray(kf2.feats.uv)[idx2]
         P1 = K @ kf1.T_cw[:3]
         P2 = K @ kf2.T_cw[:3]
+        # bucketed triangulation call (stable jit shape across keyframes)
+        nm = len(uv1)
+        cap = _bucket(max(nm, 1), lo=64)
         X = np.asarray(
-            triangulate(jnp.asarray(P1), jnp.asarray(P2), jnp.asarray(uv1), jnp.asarray(uv2))
-        )
+            triangulate(
+                jnp.asarray(P1), jnp.asarray(P2),
+                jnp.asarray(_pad_rows(uv1, cap)),
+                jnp.asarray(_pad_rows(uv2, cap)),
+            )
+        )[:nm]
         # Cheirality + parallax + reprojection gates
         # (LocalMapping::CreateNewMapPoints src/LocalMapping.cc:213: rejects
         # low-parallax rays and >5.991*sigma reprojection residuals — without
@@ -417,21 +459,21 @@ class GeometricFrontend:
         holding a point keeps the more-observed one; the loser is retired."""
         from gsorb_slam_tpu.frontend.matcher import search_by_projection
 
-        ids = self.local_map_points()
-        if len(ids) < 10:
+        if len(self.local_map_points()) < 10:
             return 0
+        ids, world_p, desc_p, valid_p = self._local_map_padded()
         m = search_by_projection(
-            jnp.asarray(self.pt_pos[ids]),
-            jnp.asarray(self.pt_desc[ids]),
-            jnp.asarray(self.pt_valid[ids]),
+            jnp.asarray(world_p),
+            jnp.asarray(desc_p),
+            jnp.asarray(valid_p),
             kf.feats,
             jnp.asarray(kf.T_cw),
             self.cam,
             radius=radius,
             max_dist=50,
         )
-        mv = np.asarray(m.valid)
-        kp = np.asarray(m.idx2)
+        mv = np.asarray(m.valid)[: len(ids)]
+        kp = np.asarray(m.idx2)[: len(ids)]
         fused = 0
         for i in np.nonzero(mv)[0]:
             p_new = int(ids[i])
@@ -558,24 +600,42 @@ class GeometricFrontend:
         if len(pts_used) < 10 or len(obs_kf) < 30:
             return []
         pt_ids = np.array(sorted(pts_used, key=pts_used.get), np.int64)
-        poses = np.stack([kf.T_cw for kf in kfs])
-        fixed = np.zeros(len(kfs), bool)
-        fixed[0] = True
+
+        # Bucket every dynamic dimension (kfs / points / observations) to a
+        # power of two so repeated LBA calls reuse one compiled executable.
+        n_k = len(kfs)
+        Kb = _bucket(n_k, lo=4)
+        n_p = len(pt_ids)
+        Pb = _bucket(n_p, lo=128)
+        n_o = len(obs_kf)
+        Ob = _bucket(n_o, lo=512)
+
+        poses = np.tile(np.eye(4, dtype=np.float32), (Kb, 1, 1))
+        poses[:n_k] = np.stack([kf.T_cw for kf in kfs])
+        fixed = np.ones(Kb, bool)  # padding poses held fixed
+        fixed[1:n_k] = False
+        points = _pad_rows(self.pt_pos[pt_ids].astype(np.float32), Pb)
+        o_kf = _pad_rows(np.array(obs_kf, np.int32), Ob)
+        o_pt = _pad_rows(np.array(obs_pt, np.int32), Ob)
+        o_uv = _pad_rows(np.array(obs_uv, np.float32), Ob)
+        o_is2 = _pad_rows(np.array(obs_is2, np.float32), Ob, fill=1.0)
+        o_val = np.zeros(Ob, bool)
+        o_val[:n_o] = True
 
         res = ba.local_bundle_adjustment(
             jnp.asarray(poses),
-            jnp.asarray(self.pt_pos[pt_ids]),
-            jnp.asarray(np.array(obs_kf, np.int32)),
-            jnp.asarray(np.array(obs_pt, np.int32)),
-            jnp.asarray(np.array(obs_uv, np.float32)),
-            jnp.asarray(np.array(obs_is2, np.float32)),
-            jnp.ones(len(obs_kf), bool),
+            jnp.asarray(points),
+            jnp.asarray(o_kf),
+            jnp.asarray(o_pt),
+            jnp.asarray(o_uv),
+            jnp.asarray(o_is2),
+            jnp.asarray(o_val),
             self.cam,
             fixed_mask=jnp.asarray(fixed),
             outer_iters=outer_iters,
         )
         new_poses = np.asarray(res.poses)
-        self.pt_pos[pt_ids] = np.asarray(res.points)
+        self.pt_pos[pt_ids] = np.asarray(res.points)[:n_p]
         adjusted = []
         for i, kf in enumerate(kfs):
             if not fixed[i]:

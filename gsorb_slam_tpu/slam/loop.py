@@ -168,8 +168,19 @@ class LoopCloser:
         pairs = np.array(pairs)
         x1 = frontend.pt_pos[pairs[:, 0]]
         x2 = frontend.pt_pos[pairs[:, 1]]
+        # Pad to a power-of-two bucket: stable jit shapes across calls.
+        n = len(pairs)
+        cap = 64
+        while cap < n:
+            cap *= 2
+        pad = cap - n
+        if pad:
+            x1 = np.concatenate([x1, np.zeros((pad, 3), x1.dtype)])
+            x2 = np.concatenate([x2, np.zeros((pad, 3), x2.dtype)])
+        pvalid = np.zeros(cap, bool)
+        pvalid[:n] = True
         res = S3.ransac_sim3(
-            jnp.asarray(x1), jnp.asarray(x2), jnp.ones(len(pairs), bool),
+            jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(pvalid),
             jnp.asarray(self.key), fix_scale=True,
         )
         if int(res.n_inliers) < self.min_inliers:
@@ -181,16 +192,21 @@ class LoopCloser:
         R = np.asarray(res.R)
         t = np.asarray(res.t)
         inl = np.asarray(res.inliers)
+        x1r, x2r = x1[:n], x2[:n]
         for th in (0.10, 0.07, 0.05):
-            r = x2 - (x1 @ R.T + t)
+            r = x2r - (x1r @ R.T + t)
             d = np.linalg.norm(r, axis=-1)
             inl = d < th
             if inl.sum() < self.min_inliers:
                 return None
-            _s, Rr, tr = S3.horn_alignment(
-                jnp.asarray(x1[inl]), jnp.asarray(x2[inl]), fix_scale=True
-            )
-            R, t = np.asarray(Rr), np.asarray(tr)
+            # numpy Horn fit (dynamic inlier counts would recompile jit)
+            a, b = x1r[inl], x2r[inl]
+            mu1, mu2 = a.mean(0), b.mean(0)
+            W = (b - mu2).T @ (a - mu1)
+            U, _S, Vt = np.linalg.svd(W)
+            D = np.diag([1.0, 1.0, np.sign(np.linalg.det(U @ Vt))])
+            R = (U @ D @ Vt).astype(np.float32)
+            t = (mu2 - R @ mu1).astype(np.float32)
         # World-frame drift correction: x2 = R x1 + t maps query-side point
         # coordinates onto match-side (older, drift-free) coordinates.
         T_corr = np.eye(4, dtype=np.float32)

@@ -116,11 +116,13 @@ class System:
         # exact_stop=False: production default — the early-stop deviation is
         # <= 1e-4 in color/alpha (far below sensor noise) and saves ~8%/iter;
         # pass a RasterConfig with exact_stop=True for CUDA-bit semantics.
-        # dilate_px=4 covers ~1.5cm of pose drift at 2m depth between
-        # re-binning episodes (bins rebuild per frame at T_init); chunk=256
-        # amortizes the fixed per-chunk loop overhead in the blend kernels.
+        # dilate_px=2 + the in-loop rebin (tcfg.rebin_iters) covers pose
+        # drift between binning episodes at ~45% fewer tile instances than
+        # dilate 4. chunk=128: the triangular cumsum/suffix matmuls cost
+        # O(K) per pixel-instance pair, so at true-f32 precision K=128
+        # halves the dominant FLOPs vs 256 (measured 10.6 vs 19.5 ms/iter).
         self.rcfg = raster or RasterConfig(
-            tile=16, tile_capacity=1024, max_dup=16, chunk=256, dilate_px=4.0,
+            tile=16, tile_capacity=1024, max_dup=16, chunk=128, dilate_px=2.0,
             exact_stop=False,
         )
         self.gm: GaussianMap = empty_map(self.cfg.mapping.max_gaussians)

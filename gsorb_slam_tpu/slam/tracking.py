@@ -110,31 +110,49 @@ def track_frame(
     num_iters: int | None = None,
     bins: TileBins | None = None,
     scale_modifier: float = 1.0,
+    rebin_iters: tuple[int, ...] | None = None,
 ) -> TrackResult:
     """Optimize the camera pose of one frame against the current map.
 
     ``scale_modifier`` must match the mapping-side setting so tracking
     renders the same splat sizes the map was optimized with
     (``Render.cc:797`` passes ``_scaleModifier`` to BOTH paths — ADVICE r1).
+
+    ``rebin_iters`` rebuilds the tile bins + instance pack at the CURRENT
+    pose at those iterations (inside the jitted loop). The reference
+    re-sorts every rasterization (rasterizer_impl.cu:310); here bins are
+    amortized and ``dilate_px`` covers drift between (re)binning episodes —
+    one early rebin (after the bulk of the pose correction) lets a small
+    dilate carry the remaining iterations.
     """
     num_iters = int(num_iters or tcfg.num_iters)
+    if rebin_iters is None:
+        rebin_iters = tuple(getattr(tcfg, "rebin_iters", ()) or ())
+    rebin_iters = tuple(r for r in rebin_iters if 0 < r < num_iters)
     quat0, trans0 = matrix_to_pose(T_cw_init)
     ps0 = init_pose_state(quat0, trans0)
 
-    if bins is None:
+    def build_bins(T_cw):
         prep0 = preprocess(
             gm.means, gm.rgb, gm.quats, gm.logit_opacities, gm.log_scales,
-            gm.active, jax.lax.stop_gradient(T_cw_init), cam, scale_modifier,
+            gm.active, jax.lax.stop_gradient(T_cw), cam, scale_modifier,
         )
-        bins = bin_gaussians(prep0, cam, rcfg)
+        return bin_gaussians(prep0, cam, rcfg)
 
-    # Amortized instance packing: ONE gather for the whole 200-iteration
-    # loop (see raster/instances.py — per-iteration gathers cost ~35ms).
-    raw = pack_raw_instances(
-        gm.means, gm.rgb, gm.quats, gm.logit_opacities, gm.log_scales,
-        gm.active, bins,
-    )
-    raw = jax.lax.stop_gradient(raw)
+    if bins is None:
+        bins = build_bins(T_cw_init)
+
+    # Amortized instance packing: ONE gather per (re)binning episode (see
+    # raster/instances.py — per-iteration gathers cost ~35ms).
+    def build_raw(b: TileBins):
+        return jax.lax.stop_gradient(
+            pack_raw_instances(
+                gm.means, gm.rgb, gm.quats, gm.logit_opacities, gm.log_scales,
+                gm.active, b,
+            )
+        )
+
+    raw = build_raw(bins)
 
     regate_iter = num_iters // 2  # feature_clear (src/Render.cc:1052)
 
@@ -142,10 +160,10 @@ def track_frame(
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
 
-    def loss_fn(quat, trans, inlier_mask):
+    def loss_fn(quat, trans, inlier_mask, raw, counts):
         T_cw = pose_to_matrix(quat, trans)
         out = render_instances(
-            raw, bins.counts, T_cw, cam, rcfg, scale_modifier=scale_modifier
+            raw, counts, T_cw, cam, rcfg, scale_modifier=scale_modifier
         )
         mask = (out.alpha > 0.99) & (gt_depth > 0)
         mask = jax.lax.stop_gradient(mask)
@@ -173,7 +191,7 @@ def track_frame(
 
         gt4 = tile_gt_images(gt_color, gt_depth, cam, rcfg)
 
-        def value_and_grad_iter(quat, trans, inlier_mask):
+        def value_and_grad_iter(quat, trans, inlier_mask, raw, counts):
             screen, vjp = jax.vjp(
                 lambda q, t: preprocess_instances(
                     raw, pose_to_matrix(q, t), cam, scale_modifier
@@ -181,7 +199,7 @@ def track_frame(
                 quat, trans,
             )
             img_l1, dep_l1, d_screen = tracking_loss_grad(
-                screen, bins.counts, gt4, cam, rcfg,
+                screen, counts, gt4, cam, rcfg,
                 tcfg.im_weight, tcfg.depth_weight, tcfg.use_sur_depth,
             )
             gq1, gt1 = vjp(d_screen)
@@ -198,9 +216,9 @@ def track_frame(
             return (loss, chi2_raw), (gq1 + gq2, gt1 + gt2)
     else:
 
-        def value_and_grad_iter(quat, trans, inlier_mask):
+        def value_and_grad_iter(quat, trans, inlier_mask, raw, counts):
             return jax.value_and_grad(
-                lambda q, t: loss_fn(q, t, inlier_mask),
+                lambda q, t: loss_fn(q, t, inlier_mask, raw, counts),
                 argnums=(0, 1), has_aux=True,
             )(quat, trans)
 
@@ -209,12 +227,30 @@ def track_frame(
     # while actually skips the remaining renders (a frozen scan would only
     # mask their updates while still paying for them).
     def cond(carry):
-        ps, inliers, best_q, best_t, best_loss, last_loss, it, n_applied = carry
+        it = carry[6]
         return it < num_iters
 
     def step(carry):
-        ps, inliers, best_q, best_t, best_loss, last_loss, it, n_applied = carry
-        (loss, chi2), (gq, gt_) = value_and_grad_iter(ps.quat, ps.trans, inliers)
+        (ps, inliers, best_q, best_t, best_loss, last_loss, it, n_applied,
+         raw, b_idx, b_cnt) = carry
+
+        if rebin_iters:
+            do_rebin = jnp.zeros((), bool)
+            for r in rebin_iters:
+                do_rebin = do_rebin | (it == r)
+
+            def rebin(args):
+                raw, b_idx, b_cnt = args
+                b = build_bins(pose_to_matrix(ps.quat, ps.trans))
+                return build_raw(b), b.indices, b.counts
+
+            raw, b_idx, b_cnt = jax.lax.cond(
+                do_rebin, rebin, lambda a: a, (raw, b_idx, b_cnt)
+            )
+
+        (loss, chi2), (gq, gt_) = value_and_grad_iter(
+            ps.quat, ps.trans, inliers, raw, b_cnt
+        )
 
         # Halfway inlier re-gate on the current pose's raw chi^2.
         inliers = jnp.where(
@@ -233,7 +269,8 @@ def track_frame(
         it_next = jnp.where(converged, num_iters, it + 1)  # break
 
         ps = pose_adam_step(ps, gq, gt_, tcfg)
-        return (ps, inliers, best_q, best_t, best_loss, loss, it_next, n_applied + 1)
+        return (ps, inliers, best_q, best_t, best_loss, loss, it_next,
+                n_applied + 1, raw, b_idx, b_cnt)
 
     inliers0 = jnp.ones_like(matches.valid)
     carry0 = (
@@ -245,10 +282,12 @@ def track_frame(
         jnp.asarray(0.0, jnp.float32),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(0, jnp.int32),
+        raw,
+        bins.indices,
+        bins.counts,
     )
-    ps, inliers, best_q, best_t, best_loss, _, _, n_applied = jax.lax.while_loop(
-        cond, step, carry0
-    )
+    out_carry = jax.lax.while_loop(cond, step, carry0)
+    (ps, inliers, best_q, best_t, best_loss, _, _, n_applied) = out_carry[:8]
 
     T_best = pose_to_matrix(best_q, best_t)
     chi2_final = reprojection_chi2(T_best, matches, cam)

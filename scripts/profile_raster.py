@@ -60,7 +60,7 @@ def feed(carry, out):
 def main():
     W, H, N, CAP = 640, 480, 250_000, 1 << 18
     cam = Camera(fx=517.3, fy=516.5, cx=318.6, cy=255.3, width=W, height=H)
-    dilate = 4.0
+    dilate = 2.0
     rcfg = RasterConfig(tile=16, tile_capacity=1024, max_dup=16, chunk=256,
                         dilate_px=dilate, exact_stop=False)
     rng = np.random.default_rng(0)
@@ -165,6 +165,29 @@ def main():
             return jnp.sum(jnp.abs(o.color)) + jnp.sum(jnp.abs(o.depth))
         return feed(c, jax.grad(f)(c))
     timeit_loop("tracking iter fwd+bwd (d/dT)", st_track, T_cw)
+
+    # --- fused tracking kernel alone ---
+    from gsorb_slam_tpu.raster.pallas_raster import tile_gt_images, tracking_loss_grad
+    from gsorb_slam_tpu.raster.tiled import render_tiled
+    out0 = jax.jit(lambda p: render_tiled(p, bins, cam, rcfg))(prep)
+    gt_c = jax.lax.stop_gradient(out0.color)
+    gt_d = jax.lax.stop_gradient(jnp.where(out0.alpha > 0.5, out0.median_depth, 0.0))
+    gt4 = tile_gt_images(gt_c, gt_d, cam, rcfg)
+    def st_fused(c):
+        img, dep, g = tracking_loss_grad(c, bins.counts, gt4, cam, rcfg, 0.7, 1.0, True)
+        return feed(c, g)
+    timeit_loop("FUSED kernel (fwd+loss+bwd)", st_fused, packed)
+
+    def st_fused_pose(c):
+        from gsorb_slam_tpu.core.transforms import matrix_to_pose, pose_to_matrix
+        def f(t4):
+            screen, vjp = jax.vjp(lambda tt: preprocess_instances(raw, tt, cam), t4)
+            img, dep, d_screen = tracking_loss_grad(screen, bins.counts, gt4, cam, rcfg, 0.7, 1.0, True)
+            (gt_,) = vjp(d_screen)
+            return img + dep + jnp.sum(gt_ * 0)
+        l = f(c)
+        return feed(c, l[None])
+    timeit_loop("FUSED + preprocess vjp (full iter)", st_fused_pose, T_cw)
 
     # --- primitive candidates for the mapping backward ---
     Mpad = 1 << 20
