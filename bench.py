@@ -23,6 +23,9 @@ import numpy as np
 
 def main() -> None:
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_gsorb")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from gsorb_slam_tpu.core.camera import Camera
@@ -116,9 +119,13 @@ def main() -> None:
         bins_counts=bins.counts[None],
         n_frames=jnp.asarray(1, jnp.int32),
     )
+    K = rcfg.chunk
+    nch = int(jnp.sum((bins.counts + K - 1) // K))
+    budget = max(-(-(nch + 64) // 1024) * 1024, 1024)
     map_run = jax.jit(
         lambda gm, key: map_window(
-            gm, frames, key, cam, mcfg, rcfg, num_iters=MAP_ITERS
+            gm, frames, key, cam, mcfg, rcfg, num_iters=MAP_ITERS,
+            chunk_budget=budget,
         )[0].means
     )
     jax.block_until_ready(map_run(gm, jax.random.PRNGKey(0)))

@@ -40,6 +40,9 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_gsorb")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from gsorb_slam_tpu.core.config import (

@@ -42,6 +42,55 @@ class TileBins:
     n_dropped: jnp.ndarray  # [] int32 instances lost to budget/cap overflow
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ChunkBins:
+    """Flat-chunk view of :class:`TileBins`: only the ceil(count/K) LIVE
+    chunks of each tile are enumerated, concatenated across tiles.
+
+    The per-tile fixed-capacity layout makes the mapping path gather/scatter
+    T*cap instance rows per iteration regardless of the real instance count
+    (~2.4x waste at VGA); this view bounds that work by the REAL count. Dead
+    tail chunks carry tile id T (a padding tile) and index -1.
+    """
+
+    indices: jnp.ndarray  # [MC, K] int32 gaussian ids (-1 dead)
+    chunk_tile: jnp.ndarray  # [MC] int32 owning tile (T = dead)
+    chunk_pos: jnp.ndarray  # [MC] int32 chunk position within its tile
+    n_chunks: jnp.ndarray  # [] int32 live chunk count
+
+
+def chunk_layout(
+    bins: TileBins, n_tiles: int, chunk: int, chunk_budget: int
+) -> ChunkBins:
+    """Build the flat-chunk enumeration from per-tile bins (amortized: once
+    per binning episode, reused across all optimization iterations)."""
+    K = chunk
+    cap = bins.indices.shape[1]
+    nchunks = (bins.counts + K - 1) // K  # [T]
+    cstart = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nchunks).astype(jnp.int32)]
+    )  # [T+1]
+    total = cstart[-1]
+    cid = jnp.arange(chunk_budget, dtype=jnp.int32)
+    tile_of = (
+        jnp.searchsorted(cstart, cid, side="right").astype(jnp.int32) - 1
+    )
+    live = cid < total
+    tile_of = jnp.where(live, tile_of, n_tiles)
+    pos = jnp.where(live, cid - cstart[jnp.minimum(tile_of, n_tiles - 1)], 0)
+    flat = bins.indices.reshape(-1)
+    base = jnp.minimum(tile_of, n_tiles - 1) * cap + pos * K  # [MC]
+    src = base[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]  # [MC, K]
+    idx = jnp.where(
+        live[:, None], flat[jnp.minimum(src, n_tiles * cap - 1)], -1
+    )
+    return ChunkBins(
+        indices=idx, chunk_tile=tile_of, chunk_pos=pos,
+        n_chunks=total.astype(jnp.int32),
+    )
+
+
 def tile_grid_shape(cam: Camera, cfg: RasterConfig) -> tuple[int, int]:
     return (-(-cam.height // cfg.tile), -(-cam.width // cfg.tile))
 

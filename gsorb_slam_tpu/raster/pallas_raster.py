@@ -950,3 +950,340 @@ def render_pallas(
     return blend_and_untile(
         packed, bins.counts, cam, cfg, bg, interpret, radii=prep.radius
     )
+
+
+# ---------------------------------------------------------------------------
+# Flat-chunk blend (the mapping path).
+#
+# The per-tile fixed-capacity layout above gathers/scatters T*cap instance
+# rows per mapping iteration regardless of the real instance count (~2.4x
+# waste at VGA: 1.23M rows for ~500k instances, and the gather/scatter pair
+# dominated the mapping step at ~40ms). The flat path enumerates only the
+# ceil(count/K) LIVE chunks of each tile (binning.chunk_layout, amortized
+# per binning episode) and runs the blend with a grid over flat chunks:
+# accumulator state persists in scratch across a tile's consecutive chunks,
+# the output block revisits the tile row, and dead chunks write to a
+# padding tile row that is trimmed on reassembly.
+# ---------------------------------------------------------------------------
+
+
+def _attr_cols(prep: Preprocessed) -> jnp.ndarray:
+    """[C+1, N_ATTR] packed attribute table with a zero sentinel row."""
+    vf = prep.valid.astype(jnp.float32)
+    z = jnp.zeros_like(prep.opacity)
+    cols = jnp.stack(
+        [
+            prep.mean2d[:, 0],
+            prep.mean2d[:, 1],
+            prep.conic[:, 0],
+            prep.conic[:, 1],
+            prep.conic[:, 2],
+            prep.opacity * vf,
+            prep.color[:, 0],
+            prep.color[:, 1],
+            prep.color[:, 2],
+            jnp.where(prep.valid, prep.depth, 0.0),
+            vf,
+            z, z, z, z, z,
+        ],
+        axis=1,
+    )
+    return jnp.concatenate([cols, jnp.zeros((1, N_ATTR), jnp.float32)], axis=0)
+
+
+def _pack_instances_flat(prep: Preprocessed, cbins) -> jnp.ndarray:
+    """Gather instance attributes into the flat [MC, N_ATTR, K] layout."""
+    MC, K = cbins.indices.shape
+    C = prep.depth.shape[0]
+    cols = _attr_cols(prep)
+    idx = jnp.where(cbins.indices < 0, C, cbins.indices)
+    rows = cols[idx.reshape(-1)].reshape(MC, K, N_ATTR)
+    return jnp.swapaxes(rows, 1, 2)
+
+
+def _flat_fwd_kernel(
+    ct_ref, cp_ref, packed_ref, out_ref, chunk_t_ref, tfin_ref,
+    acc_ref, pbas_ref, tri_ref, *, dims: _Dims,
+):
+    c = pl.program_id(0)
+    t = ct_ref[c]
+    pos = cp_ref[c]
+    px, K = dims.px, dims.K
+    ox = ((t % dims.tx) * dims.ts).astype(jnp.float32)
+    oy = ((t // dims.tx) * dims.ts).astype(jnp.float32)
+
+    @pl.when(c == 0)
+    def _():
+        pbas_ref[...] = _pixel_basis(dims, t).astype(pbas_ref.dtype)
+        tri_ref[...] = _tri(K, True, tri_ref.dtype)
+
+    @pl.when(pos == 0)
+    def _():
+        acc_ref[...] = jnp.zeros((8, px), jnp.float32)
+        acc_ref[6, :] = jnp.ones((px,), jnp.float32)
+
+    T = acc_ref[6:7, :]
+    done = acc_ref[7:8, :] > 0.5
+    chunk_t_ref[0] = jnp.where(done, 0.0, T)
+
+    @pl.when(jnp.sum(acc_ref[7, :]) < px - 0.5)
+    def _():
+        chunk = packed_ref[0]  # [N_ATTR, K]
+        _b, alpha, _unc, apply, T_pref, w, T_out, done_out = _chunk_common(
+            chunk, tri_ref[...], pbas_ref[...], T, done, ox, oy, dims
+        )
+        row = lambda r: chunk[r : r + 1, :]
+        ones = jnp.ones((1, K), jnp.float32)
+        A6 = jnp.concatenate(
+            [row(_R), row(_G), row(_B), row(_Z), ones,
+             jnp.zeros((1, K), jnp.float32)], 0
+        )
+        accum = _mm(A6, w)
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (K, px), 0)
+        is_med = apply & (T_pref > 0.5)
+        last = jnp.max(jnp.where(is_med, k_iota + 1, 0), axis=0, keepdims=True)
+        onehot = ((k_iota + 1) == last).astype(jnp.float32)
+        z_sel = jax.lax.dot_general(
+            row(_Z), onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
+        )
+        acc = acc_ref[0:6, :] + accum
+        acc_ref[0:6, :] = jnp.concatenate(
+            [acc[0:5, :], jnp.where(last > 0, z_sel, acc[5:6, :])], 0
+        )
+        acc_ref[6:7, :] = T_out
+        acc_ref[7:8, :] = done_out.astype(jnp.float32)
+
+    out_ref[0, 0:7, :] = acc_ref[0:7, :]
+    out_ref[0, 7:8, :] = jnp.zeros((1, px), jnp.float32)
+    tfin_ref[0] = acc_ref[6:7, :]
+
+
+def _flat_bwd_kernel(
+    ct_ref, cp_ref, packed_ref, chunk_t_ref, tfin_ref, gout_ref, grad_ref,
+    r_ref, pbas_ref, tri_ref, utri_ref, *, dims: _Dims, mc: int,
+):
+    c = pl.program_id(0)
+    rc = mc - 1 - c
+    t = ct_ref[rc]
+    px, K = dims.px, dims.K
+    ox = ((t % dims.tx) * dims.ts).astype(jnp.float32)
+    oy = ((t // dims.tx) * dims.ts).astype(jnp.float32)
+
+    @pl.when(c == 0)
+    def _():
+        pbas_ref[...] = _pixel_basis(dims, t).astype(pbas_ref.dtype)
+        tri_ref[...] = _tri(K, True, tri_ref.dtype)
+        utri_ref[...] = _tri(K, False, utri_ref.dtype)
+
+    # Reversed traversal: the first chunk of a tile we encounter is that
+    # tile's LAST chunk -> initialize the suffix accumulator from the
+    # final transmittance and its cotangent.
+    is_new_tile = jnp.where(
+        rc == mc - 1, True, ct_ref[jnp.minimum(rc + 1, mc - 1)] != t
+    )
+    gT = gout_ref[0, 6:7, :]
+
+    @pl.when(is_new_tile)
+    def _():
+        r_ref[...] = tfin_ref[0] * gT
+
+    G5 = gout_ref[0, 0:5, :]
+    T_in = chunk_t_ref[0]  # [1, px]
+    grad_ref[...] = jnp.zeros(grad_ref.shape, grad_ref.dtype)
+
+    @pl.when(jnp.max(T_in) > 0.0)
+    def _():
+        done = T_in <= 0.0
+        chunk = packed_ref[0]
+        _b, alpha, unclamped, apply, T_pref, w, _T_out, _d = _chunk_common(
+            chunk, tri_ref[...], pbas_ref[...], T_in, done, ox, oy, dims
+        )
+        row = lambda r: chunk[r : r + 1, :]
+        ones = jnp.ones((1, K), jnp.float32)
+        A5 = jnp.concatenate([row(_R), row(_G), row(_B), row(_Z), ones], 0)
+        phi = jax.lax.dot_general(
+            A5, G5, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
+        )
+        wphi = w * phi
+        if dims.bf16:
+            suffix = _mm(utri_ref[...], wphi.astype(jnp.bfloat16)) + r_ref[...]
+        else:
+            suffix = _mm_split2_rev(utri_ref[...], wphi) + r_ref[...]
+        one_minus = jnp.maximum(1.0 - alpha, 1e-6)
+        d_alpha = jnp.where(apply, T_pref * phi - suffix / one_minus, 0.0)
+        d_power = jnp.where(apply & unclamped, d_alpha, 0.0) * alpha
+        Srows = _dgT_split2(pbas_ref[...], d_power)
+        WGrows = jax.lax.dot_general(
+            G5, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
+        )
+        S0 = Srows[0:1, :]
+        S1u = Srows[1:2, :]
+        S1v = Srows[2:3, :]
+        S2uu = Srows[3:4, :]
+        S2uv = Srows[4:5, :]
+        S2vv = Srows[5:6, :]
+        mu = row(_MU) - ox
+        mv = row(_MV) - oy
+        ca, cb, cc, op = row(_CA), row(_CB), row(_CC), row(_OP)
+        E0 = mu * S0 - S1u
+        E1 = mv * S0 - S1v
+        d_mu = -(ca * E0 + cb * E1)
+        d_mv = -(cc * E1 + cb * E0)
+        d_ca = -0.5 * (mu * mu * S0 - 2.0 * mu * S1u + S2uu)
+        d_cb = -(mu * mv * S0 - mu * S1v - mv * S1u + S2uv)
+        d_cc = -0.5 * (mv * mv * S0 - 2.0 * mv * S1v + S2vv)
+        d_op = S0 / jnp.maximum(op, 1e-12)
+        grad_ref[0] = jnp.concatenate(
+            [d_mu, d_mv, d_ca, d_cb, d_cc, d_op, WGrows[0:4, :],
+             jnp.zeros((16 - _N_GRAD, K), jnp.float32)],
+            axis=0,
+        )
+        r_ref[...] = r_ref[...] + jnp.sum(wphi, axis=0, keepdims=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _blend_flat(packed, ct, cp, dims: _Dims, interpret: bool):
+    out, _, _ = _blend_flat_fwd_impl(packed, ct, cp, dims, interpret)
+    return out
+
+
+def _blend_flat_fwd_impl(packed, ct, cp, dims: _Dims, interpret: bool):
+    MC = packed.shape[0]
+    Tp1 = dims.n_tiles + 1
+    out, chunk_t, tfin = pl.pallas_call(
+        functools.partial(_flat_fwd_kernel, dims=dims),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(MC,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, N_ATTR, dims.K), lambda c, ct, cp: (c, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 8, dims.px), lambda c, ct, cp: (ct[c], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, dims.px), lambda c, ct, cp: (c, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, dims.px), lambda c, ct, cp: (ct[c], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((8, dims.px), jnp.float32),
+                pltpu.VMEM((8, dims.px), jnp.bfloat16),
+                pltpu.VMEM((dims.K, dims.K), jnp.bfloat16),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp1, 8, dims.px), jnp.float32),
+            jax.ShapeDtypeStruct((MC, 1, dims.px), jnp.float32),
+            jax.ShapeDtypeStruct((Tp1, 1, dims.px), jnp.float32),
+        ],
+        interpret=interpret,
+    )(ct, cp, packed)
+    return out, chunk_t, tfin
+
+
+def _blend_flat_vjp_fwd(packed, ct, cp, dims: _Dims, interpret: bool):
+    out, chunk_t, tfin = _blend_flat_fwd_impl(packed, ct, cp, dims, interpret)
+    return out, (packed, ct, cp, chunk_t, tfin)
+
+
+def _blend_flat_vjp_bwd(dims: _Dims, interpret: bool, res, g_out):
+    packed, ct, cp, chunk_t, tfin = res
+    MC = packed.shape[0]
+    grads = pl.pallas_call(
+        functools.partial(_flat_bwd_kernel, dims=dims, mc=MC),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(MC,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, N_ATTR, dims.K),
+                    lambda c, ct, cp: (MC - 1 - c, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, dims.px), lambda c, ct, cp: (MC - 1 - c, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, dims.px), lambda c, ct, cp: (ct[MC - 1 - c], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 8, dims.px), lambda c, ct, cp: (ct[MC - 1 - c], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, N_ATTR, dims.K), lambda c, ct, cp: (MC - 1 - c, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((1, dims.px), jnp.float32),
+                pltpu.VMEM((8, dims.px), jnp.bfloat16),
+                pltpu.VMEM((dims.K, dims.K), jnp.bfloat16),
+                pltpu.VMEM((dims.K, dims.K), jnp.bfloat16),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((MC, N_ATTR, dims.K), jnp.float32),
+        interpret=interpret,
+    )(ct, cp, packed, chunk_t, tfin, g_out)
+    return grads, None, None
+
+
+_blend_flat.defvjp(_blend_flat_vjp_fwd, _blend_flat_vjp_bwd)
+
+
+def render_pallas_flat(
+    prep: Preprocessed,
+    cbins,
+    cam: Camera,
+    cfg: RasterConfig,
+    bg: jnp.ndarray | float = 0.0,
+    interpret: bool | None = None,
+) -> RenderOutput:
+    """Flat-chunk mapping render: ChunkBins + one gather bounded by the
+    real instance count (vs T*cap for the per-tile layout)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    dims = _dims_for(cam, cfg, cfg.tile_capacity)
+    if not interpret:
+        assert dims.K % 128 == 0, "chunk must be a multiple of 128 on TPU"
+    packed = _pack_instances_flat(prep, cbins)
+    out = _blend_flat(packed, cbins.chunk_tile, cbins.chunk_pos, dims, interpret)
+    out = out[: dims.n_tiles]  # trim the dead-chunk padding tile
+    ty, tx = tile_grid_shape(cam, cfg)
+
+    def untile(a):
+        a = a.reshape(ty, tx, dims.ts, dims.ts)
+        a = jnp.swapaxes(a, 1, 2).reshape(ty * dims.ts, tx * dims.ts)
+        return a[: cam.height, : cam.width]
+
+    Cr = untile(out[:, 0])
+    Cg = untile(out[:, 1])
+    Cb = untile(out[:, 2])
+    D = untile(out[:, 3])
+    S = untile(out[:, 4])
+    Med = untile(out[:, 5])
+    Tf = untile(out[:, 6])
+    bg = jnp.broadcast_to(jnp.asarray(bg, jnp.float32), (3,))
+    return RenderOutput(
+        color=jnp.stack([Cr, Cg, Cb], axis=-1) + Tf[..., None] * bg,
+        depth=D,
+        alpha=S,
+        median_depth=jax.lax.stop_gradient(Med),
+        final_t=Tf,
+        radii=prep.radius,
+    )

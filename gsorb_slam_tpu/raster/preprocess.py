@@ -47,7 +47,12 @@ class Preprocessed:
 
 
 def covariance_3d(quats: jnp.ndarray, log_scales: jnp.ndarray, scale_modifier: float) -> jnp.ndarray:
-    """World-frame covariance ``R S S^T R^T`` [C, 3, 3] (forward.cu:118-152)."""
+    """World-frame covariance ``R S S^T R^T`` [C, 3, 3] (forward.cu:118-152).
+
+    Kept for reference/tests; the hot path below uses the scalar-expanded
+    form — batched 3x3 einsums pad catastrophically on the MXU (measured
+    ~17ms/iter in the mapping backward vs ~1ms scalar-expanded).
+    """
     R = quat_to_rotmat(quats)
     s = jnp.exp(log_scales) * scale_modifier  # [C, 3]
     M = R * s[:, None, :]  # R @ diag(s)
@@ -79,20 +84,57 @@ def preprocess(
     txz = jnp.clip(tx / safe_z, -lim_x, lim_x)
     tyz = jnp.clip(ty / safe_z, -lim_y, lim_y)
 
-    cov_w = covariance_3d(quats, log_scales, scale_modifier)  # [C, 3, 3]
-    cov_c = jnp.einsum("ij,njk,lk->nil", R_cw, cov_w, R_cw, precision=HIGHEST)
+    # World covariance + camera rotation, SCALAR-EXPANDED (the einsum form
+    # lowers to batched 3x3 matmuls that the MXU pads 40x; elementwise
+    # columns stay on the VPU — same math as raster/instances.py).
+    qw, qx, qy, qz = quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3]
+    qn = jnp.maximum(jnp.sqrt(qw * qw + qx * qx + qy * qy + qz * qz), 1e-12)
+    w_, xq, yq, zq = qw / qn, qx / qn, qy / qn, qz / qn
+    r00 = 1 - 2 * (yq * yq + zq * zq)
+    r01 = 2 * (xq * yq - w_ * zq)
+    r02 = 2 * (xq * zq + w_ * yq)
+    r10 = 2 * (xq * yq + w_ * zq)
+    r11 = 1 - 2 * (xq * xq + zq * zq)
+    r12 = 2 * (yq * zq - w_ * xq)
+    r20 = 2 * (xq * zq - w_ * yq)
+    r21 = 2 * (yq * zq + w_ * xq)
+    r22 = 1 - 2 * (xq * xq + yq * yq)
+    e0 = jnp.exp(log_scales[:, 0]) * scale_modifier
+    e1 = jnp.exp(log_scales[:, 1]) * scale_modifier
+    e2 = jnp.exp(log_scales[:, 2]) * scale_modifier
+    v0, v1, v2 = e0 * e0, e1 * e1, e2 * e2
+    c00 = r00 * r00 * v0 + r01 * r01 * v1 + r02 * r02 * v2
+    c01 = r00 * r10 * v0 + r01 * r11 * v1 + r02 * r12 * v2
+    c02 = r00 * r20 * v0 + r01 * r21 * v1 + r02 * r22 * v2
+    c11 = r10 * r10 * v0 + r11 * r11 * v1 + r12 * r12 * v2
+    c12 = r10 * r20 * v0 + r11 * r21 * v1 + r12 * r22 * v2
+    c22 = r20 * r20 * v0 + r21 * r21 * v1 + r22 * r22 * v2
+    # cov_cam = R_cw cov_w R_cw^T (row-expanded)
+    m00 = R_cw[0, 0] * c00 + R_cw[0, 1] * c01 + R_cw[0, 2] * c02
+    m01 = R_cw[0, 0] * c01 + R_cw[0, 1] * c11 + R_cw[0, 2] * c12
+    m02 = R_cw[0, 0] * c02 + R_cw[0, 1] * c12 + R_cw[0, 2] * c22
+    m10 = R_cw[1, 0] * c00 + R_cw[1, 1] * c01 + R_cw[1, 2] * c02
+    m11 = R_cw[1, 0] * c01 + R_cw[1, 1] * c11 + R_cw[1, 2] * c12
+    m12 = R_cw[1, 0] * c02 + R_cw[1, 1] * c12 + R_cw[1, 2] * c22
+    m20 = R_cw[2, 0] * c00 + R_cw[2, 1] * c01 + R_cw[2, 2] * c02
+    m21 = R_cw[2, 0] * c01 + R_cw[2, 1] * c11 + R_cw[2, 2] * c12
+    m22 = R_cw[2, 0] * c02 + R_cw[2, 1] * c12 + R_cw[2, 2] * c22
+    k00 = m00 * R_cw[0, 0] + m01 * R_cw[0, 1] + m02 * R_cw[0, 2]
+    k01 = m00 * R_cw[1, 0] + m01 * R_cw[1, 1] + m02 * R_cw[1, 2]
+    k02 = m00 * R_cw[2, 0] + m01 * R_cw[2, 1] + m02 * R_cw[2, 2]
+    k11 = m10 * R_cw[1, 0] + m11 * R_cw[1, 1] + m12 * R_cw[1, 2]
+    k12 = m10 * R_cw[2, 0] + m11 * R_cw[2, 1] + m12 * R_cw[2, 2]
+    k22 = m20 * R_cw[2, 0] + m21 * R_cw[2, 1] + m22 * R_cw[2, 2]
 
     fx_z = cam.fx / safe_z
     fy_z = cam.fy / safe_z
     # J = [[fx/z, 0, -fx*x/z^2], [0, fy/z, -fy*y/z^2]]
     j02 = -fx_z * txz
     j12 = -fy_z * tyz
-    c00, c01, c02 = cov_c[:, 0, 0], cov_c[:, 0, 1], cov_c[:, 0, 2]
-    c11, c12, c22 = cov_c[:, 1, 1], cov_c[:, 1, 2], cov_c[:, 2, 2]
-    # cov2D = J cov_c J^T, expanded (avoids materializing [C, 2, 3]).
-    a = fx_z * (fx_z * c00 + j02 * c02) + j02 * (fx_z * c02 + j02 * c22) + LOW_PASS
-    b = fx_z * (fy_z * c01 + j12 * c02) + j02 * (fy_z * c12 + j12 * c22)
-    c = fy_z * (fy_z * c11 + j12 * c12) + j12 * (fy_z * c12 + j12 * c22) + LOW_PASS
+    # cov2D = J cov_c J^T, expanded.
+    a = fx_z * (fx_z * k00 + j02 * k02) + j02 * (fx_z * k02 + j02 * k22) + LOW_PASS
+    b = fx_z * (fy_z * k01 + j12 * k02) + j02 * (fy_z * k12 + j12 * k22)
+    c = fy_z * (fy_z * k11 + j12 * k12) + j12 * (fy_z * k12 + j12 * k22) + LOW_PASS
 
     det = a * c - b * b
     det_ok = det > 0.0

@@ -50,6 +50,9 @@ class RasterConfig:
     # bf16 MXU inputs (f32 accumulation) for the triangular transmittance
     # cumsum matmuls; ~1e-3 relative T error, below sensor noise.
     blend_bf16: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # Static chunk budget for the flat-chunk mapping path (ChunkBins):
+    # supports up to chunk_budget * chunk live tile-instances per view.
+    chunk_budget: int = dataclasses.field(default=8192, metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass

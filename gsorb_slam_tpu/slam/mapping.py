@@ -205,11 +205,38 @@ def map_window(
     rcfg: RasterConfig,
     num_iters: int | None = None,
     init_mode: bool = False,
+    chunk_budget: int | None = None,
 ) -> tuple[GaussianMap, jnp.ndarray]:
     """``numIters`` Adam steps, each on a random window frame
-    (``src/Render.cc:420-483``). Returns (map, per-iteration losses)."""
+    (``src/Render.cc:420-483``). Returns (map, per-iteration losses).
+
+    On TPU the render uses the flat-chunk path: the per-frame chunk layouts
+    are built ONCE per call (amortized over all iterations) and each Adam
+    step gathers only the live tile-instances instead of tiles*capacity
+    rows (~2.4x less gather/scatter, the mapping step's dominant cost).
+    EVERY budgeted chunk costs a kernel grid step whether live or dead, so
+    callers should pass a ``chunk_budget`` bucketed just above the window's
+    live chunk count (System picks a power-of-two bucket per mapping call).
+    """
     num_iters = int(num_iters or mcfg.num_iters)
     lrs = map_learning_rates(mcfg)
+    chunk_budget = int(chunk_budget or rcfg.chunk_budget)
+
+    backend = rcfg.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    cbins_stacked = None
+    if backend == "pallas":
+        from gsorb_slam_tpu.raster.binning import chunk_layout, tile_grid_shape
+
+        ty, tx = tile_grid_shape(cam, rcfg)
+        cbins_stacked = jax.vmap(
+            lambda bi, bc: chunk_layout(
+                TileBins(indices=bi, counts=bc, n_dropped=jnp.zeros((), jnp.int32)),
+                ty * tx, rcfg.chunk, chunk_budget,
+            )
+        )(frames.bins_indices, frames.bins_counts)
 
     def step(carry, it_key):
         gm = carry
@@ -217,16 +244,41 @@ def map_window(
         color = jax.lax.dynamic_index_in_dim(frames.colors, k, keepdims=False)
         depth = jax.lax.dynamic_index_in_dim(frames.depths, k, keepdims=False)
         pose = jax.lax.dynamic_index_in_dim(frames.poses, k, keepdims=False)
-        bins = TileBins(
-            indices=jax.lax.dynamic_index_in_dim(frames.bins_indices, k, keepdims=False),
-            counts=jax.lax.dynamic_index_in_dim(frames.bins_counts, k, keepdims=False),
-            n_dropped=jnp.zeros((), jnp.int32),
-        )
 
-        def loss_fn(params):
-            g2 = dataclasses.replace(gm, **params)
-            out = _render(g2, pose, bins, cam, rcfg, mcfg)
-            return _mapping_loss(g2, out, color, depth, mcfg, init_mode)
+        if backend == "pallas":
+            from gsorb_slam_tpu.raster.pallas_raster import render_pallas_flat
+
+            cbins_k = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, k, keepdims=False),
+                cbins_stacked,
+            )
+
+            def loss_fn(params):
+                g2 = dataclasses.replace(gm, **params)
+                prep = preprocess(
+                    g2.means, g2.rgb, g2.quats, g2.logit_opacities,
+                    g2.log_scales, g2.active, pose, cam, mcfg.scale_modifier,
+                )
+                out = render_pallas_flat(
+                    prep, cbins_k, cam, rcfg, bg=mcfg.background_color
+                )
+                return _mapping_loss(g2, out, color, depth, mcfg, init_mode)
+
+        else:
+            bins = TileBins(
+                indices=jax.lax.dynamic_index_in_dim(
+                    frames.bins_indices, k, keepdims=False
+                ),
+                counts=jax.lax.dynamic_index_in_dim(
+                    frames.bins_counts, k, keepdims=False
+                ),
+                n_dropped=jnp.zeros((), jnp.int32),
+            )
+
+            def loss_fn(params):
+                g2 = dataclasses.replace(gm, **params)
+                out = _render(g2, pose, bins, cam, rcfg, mcfg)
+                return _mapping_loss(g2, out, color, depth, mcfg, init_mode)
 
         loss, grads = jax.value_and_grad(loss_fn)(gm.params())
         return adam_step(gm, grads, lrs), loss

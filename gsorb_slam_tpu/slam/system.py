@@ -248,13 +248,33 @@ class System:
 
         self._densify_jit = _densify
 
-        def _map(gm, frames, key, n_iters, init_mode):
+        def _map(gm, frames, key, n_iters, init_mode, chunk_budget):
             return M.map_window(
                 gm, frames, key, cam, mcfg, rcfg,
                 num_iters=n_iters, init_mode=init_mode,
+                chunk_budget=chunk_budget,
             )
 
-        self._map_jit = jax.jit(_map, static_argnames=("n_iters", "init_mode"))
+        self._map_jit = jax.jit(
+            _map, static_argnames=("n_iters", "init_mode", "chunk_budget")
+        )
+
+        def _window_chunk_budget(frames) -> int:
+            """Power-of-two bucket just above the window's max live chunk
+            count: dead budget chunks cost full kernel grid steps."""
+            K = rcfg.chunk
+            nch = int(
+                jnp.max(
+                    jnp.sum((frames.bins_counts + K - 1) // K, axis=1)
+                )
+            )
+            # quantize to 1024-chunk steps: coarse enough to reuse compiled
+            # executables across frames, fine enough that dead budget
+            # chunks stay a small fraction of the live count
+            b = max(-(-(nch + 64) // 1024) * 1024, 1024)
+            return min(b, 1 << 15)
+
+        self._window_chunk_budget = _window_chunk_budget
 
         @jax.jit
         def _gather_window(
@@ -489,6 +509,7 @@ class System:
         self.gm, _ = self._map_jit(
             self.gm, frames, sub,
             n_iters=self.cfg.mapping.init_iters, init_mode=True,
+            chunk_budget=self._window_chunk_budget(frames),
         )
         self._create_keyframe(color, depth, T_cw, fe_kf_id=fe_kf_id)
         self._refresh_kf_bins([self.last_kf.kf_id])
@@ -628,7 +649,9 @@ class System:
         else:
             self.key, sub = jax.random.split(self.key)
             self.gm, _losses = self._map_jit(
-                self.gm, frames, sub, n_iters=cfg.mapping.num_iters, init_mode=False
+                self.gm, frames, sub, n_iters=cfg.mapping.num_iters,
+                init_mode=False,
+                chunk_budget=self._window_chunk_budget(frames),
             )
         self.timings["map"] += time.perf_counter() - t0
         self.timings["n_map"] += 1

@@ -160,6 +160,53 @@ def main() -> int:
         print(f"[{s2}] exact={int(exact)} fused POSE grad rel-err: quat {rq:.2e} "
               f"trans {rt:.2e}", flush=True)
 
+        # flat-chunk mapping path, compiled
+        from gsorb_slam_tpu.raster.binning import chunk_layout, tile_grid_shape
+        from gsorb_slam_tpu.raster.pallas_raster import render_pallas_flat
+
+        ty, tx = tile_grid_shape(cam, rcfg)
+        cb = jax.jit(
+            lambda: chunk_layout(bins, ty * tx, rcfg.chunk, 1024)
+        )()
+        of = jax.jit(
+            lambda: render_pallas_flat(prep, cb, cam, rcfg, interpret=False)
+        )()
+        dfl = float(jnp.max(jnp.abs(of.color - ox.color)))
+        s3 = "ok " if dfl < 2e-3 else "FAIL"
+        if dfl >= 2e-3:
+            ok = False
+        print(f"[{s3}] exact={int(exact)} flat-vs-xla color: {dfl:.6f}", flush=True)
+
+        # gt*0.9 keeps pred != gt everywhere: at pred == gt the L1 sign is
+        # 1e-5-noise-determined and per-parameter grads legitimately differ.
+        gt9 = gt_color * 0.9
+
+        def flat_loss(m):
+            import dataclasses as dc
+
+            p2 = dc.replace(prep, mean2d=prep.mean2d + m)
+            o = render_pallas_flat(p2, cb, cam, rcfg, interpret=False)
+            return jnp.sum(jnp.abs(o.color - gt9)) + jnp.sum(o.depth)
+
+        def xla_loss2(m):
+            import dataclasses as dc
+
+            from gsorb_slam_tpu.raster.tiled import render_tiled as rt
+
+            p2 = dc.replace(prep, mean2d=prep.mean2d + m)
+            o = rt(p2, bins, cam, rcfg)
+            return jnp.sum(jnp.abs(o.color - gt9)) + jnp.sum(o.depth)
+
+        zz = jnp.zeros_like(prep.mean2d)
+        gf = jax.jit(jax.grad(flat_loss))(zz)
+        gx = jax.jit(jax.grad(xla_loss2))(zz)
+        rg = float(jnp.max(jnp.abs(gf - gx)) / (jnp.max(jnp.abs(gx)) + 1e-9))
+        s4 = "ok " if rg < 2e-2 else "FAIL"
+        if rg >= 2e-2:
+            ok = False
+        print(f"[{s4}] exact={int(exact)} flat param-grad rel-err: {rg:.2e}",
+              flush=True)
+
     print("TPU-SMOKE", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

@@ -250,3 +250,93 @@ def test_fused_tracking_pose_gradient_e2e(rng):
     np.testing.assert_allclose(float(l_f), float(l_ref), rtol=2e-5)
     np.testing.assert_allclose(np.asarray(gq_f), np.asarray(gq_ref), rtol=5e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(gt_f), np.asarray(gt_ref), rtol=5e-3, atol=1e-3)
+
+
+def test_flat_chunk_blend_matches_tiled(rng):
+    """The flat-chunk mapping path (ChunkBins + _blend_flat) must match the
+    XLA tiled renderer in outputs AND parameter gradients."""
+    from gsorb_slam_tpu.raster.binning import chunk_layout, tile_grid_shape
+    from gsorb_slam_tpu.raster.pallas_raster import render_pallas_flat
+
+    cfg = RasterConfig(tile=16, tile_capacity=256, max_dup=16, chunk=64,
+                       exact_stop=True, chunk_budget=64)
+    cam = tiny_camera()
+    scene = random_cloud_scene(rng, n=300, capacity=384)
+    prep = _prep(scene, cam)
+    bins = bin_gaussians(prep, cam, cfg)
+    ty, tx = tile_grid_shape(cam, cfg)
+    cbins = chunk_layout(bins, ty * tx, cfg.chunk, cfg.chunk_budget)
+    assert int(cbins.n_chunks) <= cfg.chunk_budget
+
+    ref = render_tiled(prep, bins, cam, cfg)
+    out = render_pallas_flat(prep, cbins, cam, cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.alpha), np.asarray(ref.alpha), atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.final_t), np.asarray(ref.final_t), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.median_depth), np.asarray(ref.median_depth), atol=1e-4
+    )
+
+    # parameter gradients through preprocess (the mapping consumer)
+    import dataclasses as dc
+
+    gt = jax.lax.stop_gradient(ref.color) * 0.9
+
+    def loss_tiled(means):
+        p = dc.replace(prep, mean2d=prep.mean2d + means)
+        o = render_tiled(p, bins, cam, cfg)
+        return jnp.sum(jnp.abs(o.color - gt)) + jnp.sum(o.depth) + jnp.sum(o.alpha)
+
+    def loss_flat(means):
+        p = dc.replace(prep, mean2d=prep.mean2d + means)
+        o = render_pallas_flat(p, cbins, cam, cfg, interpret=True)
+        return jnp.sum(jnp.abs(o.color - gt)) + jnp.sum(o.depth) + jnp.sum(o.alpha)
+
+    z = jnp.zeros_like(prep.mean2d)
+    g_ref = jax.grad(loss_tiled)(z)
+    g_flat = jax.grad(loss_flat)(z)
+    np.testing.assert_allclose(
+        np.asarray(g_flat), np.asarray(g_ref), atol=2e-4, rtol=2e-3
+    )
+
+
+def test_flat_chunk_blend_with_background(rng):
+    """Nonzero background couples final_t into the color gradient — the
+    flat path's suffix init (tfin * gT) must carry it."""
+    from gsorb_slam_tpu.raster.binning import chunk_layout, tile_grid_shape
+    from gsorb_slam_tpu.raster.pallas_raster import render_pallas_flat
+
+    cfg = RasterConfig(tile=16, tile_capacity=256, max_dup=16, chunk=64,
+                       exact_stop=True, chunk_budget=64)
+    cam = tiny_camera()
+    scene = random_cloud_scene(rng, n=200, capacity=256)
+    prep = _prep(scene, cam)
+    bins = bin_gaussians(prep, cam, cfg)
+    ty, tx = tile_grid_shape(cam, cfg)
+    cbins = chunk_layout(bins, ty * tx, cfg.chunk, cfg.chunk_budget)
+    import dataclasses as dc
+
+    bg = 0.35
+
+    def loss_tiled(dop):
+        p = dc.replace(prep, opacity=prep.opacity + dop)
+        o = render_tiled(p, bins, cam, cfg, bg=bg)
+        return jnp.sum(o.color ** 2)
+
+    def loss_flat(dop):
+        p = dc.replace(prep, opacity=prep.opacity + dop)
+        o = render_pallas_flat(p, cbins, cam, cfg, bg=bg, interpret=True)
+        return jnp.sum(o.color ** 2)
+
+    z = jnp.zeros_like(prep.opacity)
+    np.testing.assert_allclose(
+        float(loss_flat(z)), float(loss_tiled(z)), rtol=1e-5
+    )
+    g_ref = jax.grad(loss_tiled)(z)
+    g_flat = jax.grad(loss_flat)(z)
+    np.testing.assert_allclose(
+        np.asarray(g_flat), np.asarray(g_ref), atol=2e-4, rtol=2e-3
+    )
