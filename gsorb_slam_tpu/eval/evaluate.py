@@ -17,10 +17,12 @@ from gsorb_slam_tpu.ops import metrics as MM
 def evaluate_sequence(
     system,
     dataset,
-    stride: int = 5,
+    stride: int = 1,
     compute_lpips: bool = False,
 ) -> dict:
     """Render every ``stride``-th frame at its ESTIMATED pose and score
+    (stride=1 scores every frame, matching the reference Evalution
+    src/Utils.cc:365-473; raise it only for smoke runs)
     against the sensor images; ATE against GT when available."""
     import jax.numpy as jnp
 

@@ -189,10 +189,13 @@ def search_by_projection(
     cam: Camera,
     radius: float = 15.0,
     max_dist: int = TH_HIGH,
+    normals: jnp.ndarray | None = None,  # [M, 3] mean viewing directions
 ) -> MatchResult:
     """Project map points into the frame and match within a pixel window
     (``SearchByProjection`` ``src/ORBmatcher.cc:45,1328``; the reference's
-    per-cell grid lookup becomes a masked distance matrix)."""
+    per-cell grid lookup becomes a masked distance matrix). With
+    ``normals``, points viewed >60 degrees off their mean viewing direction
+    are excluded (``Frame::isInFrustum`` viewCos < 0.5 gate)."""
     R = T_cw[:3, :3]
     t = T_cw[:3, 3]
     xc = jnp.matmul(world, R.T, precision=jax.lax.Precision.HIGHEST) + t
@@ -203,6 +206,15 @@ def search_by_projection(
     v = cam.fy * xc[:, 1] / safe_z + cam.cy
     on_img = (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
     ok = pt_valid & in_front & on_img
+    if normals is not None:
+        cam_center = -R.T @ t
+        view = world - cam_center[None, :]
+        vn = view / jnp.maximum(
+            jnp.linalg.norm(view, axis=-1, keepdims=True), 1e-9
+        )
+        view_cos = jnp.sum(vn * normals, axis=-1)
+        has_normal = jnp.linalg.norm(normals, axis=-1) > 0.5
+        ok = ok & (~has_normal | (view_cos > 0.5))
 
     du = u[:, None] - frame.uv[None, :, 0]
     dv = v[:, None] - frame.uv[None, :, 1]

@@ -101,6 +101,11 @@ class GeometricFrontend:
         self.pt_visible = np.zeros(P, np.int32)
         self.pt_found = np.zeros(P, np.int32)
         self.pt_first_kf = np.zeros(P, np.int32)
+        # MapPoint maintenance state (src/MapPoint.cc): mean viewing
+        # direction (zero = not yet set) and per-point observed descriptors
+        # for the distinctive-descriptor refresh (capped ring).
+        self.pt_normal = np.zeros((P, 3), np.float32)
+        self.pt_obs_desc: dict[int, list] = {}
         self.n_points = 0
 
         self.keyframes: list[KeyFrameFeatures] = []
@@ -149,9 +154,10 @@ class GeometricFrontend:
         cap = min(_bucket(max(len(ids), 1), lo=256), max_pts)
         world = _pad_rows(self.pt_pos[ids], cap)
         desc = _pad_rows(self.pt_desc[ids], cap)
+        normals = _pad_rows(self.pt_normal[ids], cap)
         valid = np.zeros(cap, bool)
         valid[: min(len(ids), cap)] = self.pt_valid[ids[:cap]]
-        return ids[:cap], world, desc, valid
+        return ids[:cap], world, desc, valid, normals
 
     def process_frame(
         self,
@@ -171,7 +177,7 @@ class GeometricFrontend:
         if len(ids) < 20:
             return FrontendResult(None, empty, 0, 0, 0, feats)
 
-        ids, world_p, desc_p, valid_p = self._local_map_padded()
+        ids, world_p, desc_p, valid_p, norm_p = self._local_map_padded()
         m = search_by_projection(
             jnp.asarray(world_p),
             jnp.asarray(desc_p),
@@ -180,6 +186,7 @@ class GeometricFrontend:
             jnp.asarray(T_pred),
             self.cam,
             radius=12.0,
+            normals=jnp.asarray(norm_p),
         )
         mv = np.asarray(m.valid)[: len(ids)]
         self.pt_visible[ids[mv]] += 1
@@ -278,6 +285,7 @@ class GeometricFrontend:
         order = np.argsort(np.where(ok, z, np.inf))
         created = 0
         T_wc = np.linalg.inv(T_cw)
+        cam_center = T_wc[:3, 3]
         for i in order:
             if not ok[i]:
                 break
@@ -302,6 +310,8 @@ class GeometricFrontend:
             self.pt_first_kf[p] = self.kf_counter
             self.pt_visible[p] = 1
             self.pt_found[p] = 1
+            self.pt_normal[p] = 0.0
+            self._observe_point(p, desc[i], cam_center)
             point_ids[i] = p
             self.n_points += 1
             created += 1
@@ -340,6 +350,39 @@ class GeometricFrontend:
         return kf
 
     # -------------------------------------------------------- local mapping
+
+    def _observe_point(self, p: int, desc: np.ndarray, cam_center: np.ndarray) -> None:
+        """Register an observation: update the running mean viewing normal
+        (``MapPoint::UpdateNormalAndDepth``) and stash the descriptor for
+        the distinctive-descriptor refresh."""
+        view = self.pt_pos[p] - cam_center
+        n = np.linalg.norm(view)
+        if n > 1e-9:
+            acc = self.pt_normal[p] + view / n
+            an = np.linalg.norm(acc)
+            self.pt_normal[p] = acc / an if an > 1e-9 else acc
+        lst = self.pt_obs_desc.setdefault(p, [])
+        if len(lst) < 8:
+            lst.append(np.asarray(desc, np.uint32))
+
+    def refresh_descriptors(self, ids) -> int:
+        """Distinctive-descriptor recompute
+        (``MapPoint::ComputeDistinctiveDescriptors``): among a point's
+        observed descriptors pick the one with minimum median Hamming
+        distance to the others."""
+        refreshed = 0
+        for p in ids:
+            lst = self.pt_obs_desc.get(int(p))
+            if not lst or len(lst) < 3:
+                continue
+            D = np.stack(lst)  # [n, 8] uint32
+            x = D[:, None, :] ^ D[None, :, :]
+            dist = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+            med = np.median(dist, axis=1)
+            best = int(np.argmin(med))
+            self.pt_desc[int(p)] = D[best]
+            refreshed += 1
+        return refreshed
 
     def cull_points(self, min_ratio: float = 0.25) -> int:
         """Found/visible-ratio culling (``LocalMapping::MapPointCulling``
@@ -461,7 +504,7 @@ class GeometricFrontend:
 
         if len(self.local_map_points()) < 10:
             return 0
-        ids, world_p, desc_p, valid_p = self._local_map_padded()
+        ids, world_p, desc_p, valid_p, _norm_p = self._local_map_padded()
         m = search_by_projection(
             jnp.asarray(world_p),
             jnp.asarray(desc_p),
@@ -475,24 +518,41 @@ class GeometricFrontend:
         mv = np.asarray(m.valid)[: len(ids)]
         kp = np.asarray(m.idx2)[: len(ids)]
         fused = 0
+        kf_desc = np.asarray(kf.feats.descriptors)
+        cam_center = (-kf.T_cw[:3, :3].T @ kf.T_cw[:3, 3]).astype(np.float32)
+        touched = []
         for i in np.nonzero(mv)[0]:
             p_new = int(ids[i])
+            if not self.pt_valid[p_new]:  # already merged away this pass
+                continue
             existing = int(kf.point_ids[kp[i]])
             if existing < 0:
                 kf.point_ids[kp[i]] = p_new
+                self._observe_point(p_new, kf_desc[kp[i]], cam_center)
+                touched.append(p_new)
                 continue
             if existing == p_new or not self.pt_valid[existing]:
                 continue
+            # ORBmatcher::Fuse keeps the point with MORE observations; on a
+            # tie the PROJECTED (older, local-map) point wins
+            # (src/ORBmatcher.cc:825: pMPinKF->Replace(pMP) unless
+            # pMPinKF->Observations() > pMP->Observations()).
+            obs_of = lambda q: max(len(self.pt_obs_desc.get(q, [])), 1)
             keep, drop = (
                 (existing, p_new)
-                if self.pt_found[existing] >= self.pt_found[p_new]
+                if obs_of(existing) > obs_of(p_new)
                 else (p_new, existing)
             )
             self.pt_valid[drop] = False
             self.pt_found[keep] += self.pt_found[drop]
             self.pt_visible[keep] += self.pt_visible[drop]
             kf.point_ids[kp[i]] = keep
+            self._observe_point(keep, kf_desc[kp[i]], cam_center)
+            touched.append(keep)
             fused += 1
+        # Distinctive-descriptor refresh for every point that gained an
+        # observation (MapPoint::ComputeDistinctiveDescriptors).
+        self.refresh_descriptors(touched)
         return fused
 
     def cull_keyframes(self, min_redundant: float = 0.9) -> list[int]:

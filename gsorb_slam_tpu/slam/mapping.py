@@ -320,7 +320,12 @@ def build_window_frames(
 
 def prune_map(gm: GaussianMap, mcfg: MappingConfig) -> GaussianMap:
     """Periodic low-opacity prune + scene radius refresh
-    (``Render::RemoveGaussian`` + ``UpdataMaxZ``, ``src/Render.cc:211-217,657-663``)."""
+    (``Render::RemoveGaussian`` + ``UpdataMaxZ``, ``src/Render.cc:211-217,657-663``).
+
+    Parity note: ``UpdataMaxZ`` only recomputes
+    ``sceneRadius = maxZ / ratio`` — the reference's ``mMaxZ`` itself also
+    only ratchets upward (``AddGaussian`` takes the running max), so the
+    non-shrinking ``gm.max_z`` here is exact reference behavior."""
     from gsorb_slam_tpu.splat.gaussians import prune_low_opacity
 
     gm = prune_low_opacity(gm, mcfg.prune_opacities)

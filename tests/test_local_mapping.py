@@ -63,3 +63,41 @@ def test_fuse_duplicates_merges(rng):
     fused = fe.fuse_duplicates(kf2)
     assert fused > 10, fused
     assert int(fe.pt_valid.sum()) == n_valid_before - fused
+
+
+def test_map_point_maintenance_normals_and_descriptors(rng):
+    """Viewing normals accumulate per observation and the distinctive
+    descriptor converges to the min-median-Hamming representative
+    (MapPoint::UpdateNormalAndDepth / ComputeDistinctiveDescriptors)."""
+    cam = Camera(fx=150.0, fy=150.0, cx=160.0, cy=120.0, width=320, height=240)
+    fe = _fe(cam)
+    img = make_textured_image(rng, h=240, w=320)
+    depth = np.full(img.shape, 2.0, np.float32)
+    f1 = fe._extract(jnp.asarray(img))
+    kf1 = fe.create_keyframe(f1, depth, np.eye(4, dtype=np.float32), 0)
+    pts = kf1.point_ids[kf1.point_ids >= 0]
+    assert len(pts) > 10
+    # normals point from the camera (origin) toward the points; the z
+    # component is cos(view angle) — down to ~0.7 at the image corners
+    nz = fe.pt_normal[pts][:, 2]
+    assert (nz > 0.6).all()
+
+    # second view from a translated pose: fuse adds observations
+    T2 = np.eye(4, dtype=np.float32)
+    T2[0, 3] = -0.05
+    f2 = fe._extract(jnp.asarray(img))
+    kf2 = fe.create_keyframe(
+        f2, depth, T2, 1, run_local_mapping=False
+    )
+    fe.fuse_duplicates(kf2)
+    obs_counts = [len(fe.pt_obs_desc.get(int(p), [])) for p in pts]
+    assert max(obs_counts) >= 2  # some points gained a second observation
+
+    # distinctive descriptor: inject 3 observations, one being an outlier;
+    # the representative must be one of the two agreeing descriptors
+    p = int(pts[0])
+    base = fe.pt_obs_desc[p][0]
+    outlier = ~base
+    fe.pt_obs_desc[p] = [base, base.copy(), outlier]
+    fe.refresh_descriptors([p])
+    assert (fe.pt_desc[p] == base).all()
