@@ -137,18 +137,87 @@ def main() -> None:
         best_m = min(best_m, time.perf_counter() - t0)
     map_iters_per_sec = MAP_ITERS / best_m
 
+    mesh_ips = _mesh_bench()
+
     baseline = 250.0
-    print(
-        json.dumps(
-            {
-                "metric": "tracking_render_backward_iters_per_sec_vga_250k",
-                "value": round(iters_per_sec, 2),
-                "unit": "iters/s",
-                "vs_baseline": round(iters_per_sec / baseline, 3),
-                "mapping_iters_per_sec": round(map_iters_per_sec, 2),
-            }
+    out = {
+        "metric": "tracking_render_backward_iters_per_sec_vga_250k",
+        "value": round(iters_per_sec, 2),
+        "unit": "iters/s",
+        "vs_baseline": round(iters_per_sec / baseline, 3),
+        "mapping_iters_per_sec": round(map_iters_per_sec, 2),
+    }
+    if mesh_ips is not None:
+        out["mesh8_map_steps_per_sec_cpu"] = round(mesh_ips, 2)
+    print(json.dumps(out))
+
+
+def _mesh_bench() -> float | None:
+    """Data-parallel mapping steps/sec on an 8-virtual-device CPU mesh, in a
+    subprocess (the parent process is latched to the TPU platform). Small
+    scene — this validates the sharded step end to end, not absolute speed.
+    """
+    import os
+    import subprocess
+    import sys
+
+    code = r"""
+import os, time
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_gsorb")
+import jax.numpy as jnp, numpy as np
+from gsorb_slam_tpu.core.camera import Camera
+from gsorb_slam_tpu.core.config import MappingConfig
+from gsorb_slam_tpu.parallel.mesh import make_mesh, parallel_window_step, replicate_map, shard_frames
+from gsorb_slam_tpu.raster import RasterConfig, bin_gaussians, preprocess
+from gsorb_slam_tpu.slam.mapping import WindowFrames
+from gsorb_slam_tpu.splat.gaussians import add_points, empty_map
+cam = Camera(fx=90.0, fy=90.0, cx=48.0, cy=36.0, width=96, height=72)
+rcfg = RasterConfig(tile=16, tile_capacity=256, max_dup=16, chunk=64)
+mcfg = MappingConfig()
+rng = np.random.default_rng(0)
+N = 3000
+means = np.stack([rng.uniform(-1,1,N), rng.uniform(-0.8,0.8,N), rng.uniform(1,3,N)], -1).astype(np.float32)
+gm = empty_map(1 << 12)
+gm = add_points(gm, jnp.asarray(means), jnp.asarray(rng.uniform(0,1,(N,3)).astype(np.float32)),
+                jnp.asarray(means[:,2]), jnp.ones(N, bool), cam.fx, cam.fy)
+poses, bi, bc, cols, deps = [], [], [], [], []
+for i in range(8):
+    T = jnp.eye(4).at[0, 3].set(0.01 * i)
+    p = preprocess(gm.means, gm.rgb, gm.quats, gm.logit_opacities, gm.log_scales, gm.active, T, cam)
+    b = bin_gaussians(p, cam, rcfg)
+    from gsorb_slam_tpu.raster.tiled import render_tiled
+    o = render_tiled(p, b, cam, rcfg)
+    poses.append(T); bi.append(b.indices); bc.append(b.counts)
+    cols.append(o.color); deps.append(jnp.where(o.alpha > 0.5, o.median_depth, 0.0))
+frames = WindowFrames(colors=jnp.stack(cols), depths=jnp.stack(deps), poses=jnp.stack(poses),
+                      bins_indices=jnp.stack(bi), bins_counts=jnp.stack(bc),
+                      n_frames=jnp.asarray(8, jnp.int32))
+mesh = make_mesh(8)
+gmr = replicate_map(gm, mesh)
+fr = shard_frames(frames, mesh)
+step = jax.jit(lambda g, f, i: parallel_window_step(g, f, mesh, cam, mcfg, rcfg, local_idx=i))
+g2, _ = step(gmr, fr, jnp.asarray(0, jnp.int32))
+jax.block_until_ready(g2.means)
+t0 = time.perf_counter(); n = 10
+for i in range(n):
+    g2, _ = step(g2, fr, jnp.asarray(i, jnp.int32))
+jax.block_until_ready(g2.means)
+print(n / (time.perf_counter() - t0))
+"""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=900, env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-    )
+        return float(res.stdout.strip().splitlines()[-1])
+    except Exception:
+        return None
 
 
 if __name__ == "__main__":
