@@ -45,8 +45,13 @@ def _project_residual(T_cw, world, obs_uv, cam: Camera):
 
 
 def _pose_jacobian(xc, cam: Camera):
-    """d(residual)/d(twist [rho, phi]) in the camera frame: [M, 2, 6]."""
-    x, y, z = xc[:, 0], xc[:, 1], jnp.maximum(xc[:, 2], 1e-6)
+    """d(residual)/d(twist [rho, phi]) in the camera frame: [M, 2, 6].
+
+    z clamps at 1e-2 (not epsilon): with z ~ 1e-6 the fx*x/z^2 terms
+    overflow f32 when squared into the normal equations, and inf * (zero
+    robust weight) = NaN poisons the whole solve. Behind-camera points are
+    weight-gated out by callers; the clamp only keeps their J finite."""
+    x, y, z = xc[:, 0], xc[:, 1], jnp.maximum(xc[:, 2], 1e-2)
     iz = 1.0 / z
     iz2 = iz * iz
     fx, fy = cam.fx, cam.fy
@@ -129,7 +134,7 @@ def pose_optimization(
 
     def jacobian3(xc):
         J2 = _pose_jacobian(xc, cam)  # [M, 2, 6]
-        x, y, z = xc[:, 0], xc[:, 1], jnp.maximum(xc[:, 2], 1e-6)
+        x, y, z = xc[:, 0], xc[:, 1], jnp.maximum(xc[:, 2], 1e-2)
         iz2 = 1.0 / (z * z)
         # uR = u - bf/z  =>  d uR = d u + bf * iz^2 * dz, with
         # dz/d[rho, phi] = [0, 0, 1, y, -x, 0] for T <- exp(xi) T.
@@ -266,7 +271,7 @@ def local_bundle_adjustment(
         t_o = T_o[:, :3, 3]
         xc = jnp.einsum("oij,oj->oi", R_o, X_o) + t_o
         in_front = xc[:, 2] > 1e-2
-        z = jnp.maximum(xc[:, 2], 1e-6)
+        z = jnp.maximum(xc[:, 2], 1e-2)
         u = cam.fx * xc[:, 0] / z + cam.cx
         v = cam.fy * xc[:, 1] / z + cam.cy
         r = jnp.stack([u - obs_uv[:, 0], v - obs_uv[:, 1]], -1)  # [O, 2]
@@ -309,7 +314,7 @@ def local_bundle_adjustment(
         X_o = points[obs_pt]
         xc = jnp.einsum("oij,oj->oi", R_o, X_o) + t_o
         in_front = xc[:, 2] > 1e-2
-        z = jnp.maximum(xc[:, 2], 1e-6)
+        z = jnp.maximum(xc[:, 2], 1e-2)
         u = cam.fx * xc[:, 0] / z + cam.cx
         v = cam.fy * xc[:, 1] / z + cam.cy
         r = jnp.stack([u - obs_uv[:, 0], v - obs_uv[:, 1]], -1)

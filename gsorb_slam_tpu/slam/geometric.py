@@ -223,7 +223,8 @@ class GeometricFrontend:
         matched_ids = ids[mv][:cap]
         self.pt_found[matched_ids[inl]] += 1
         n_inl = int(inl.sum())
-        T_orb = np.asarray(res.T_cw) if n_inl >= 10 else None
+        T_res = np.asarray(res.T_cw)
+        T_orb = T_res if (n_inl >= 10 and np.isfinite(T_res).all()) else None
 
         # Padded matches for the GS tracker feature term (inliers only).
         mcap = self.match_capacity

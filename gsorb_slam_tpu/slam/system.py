@@ -557,6 +557,11 @@ class System:
             n_iters=n_track_iters,
         )
         T_cw = np.asarray(res.T_cw)
+        if not np.isfinite(T_cw).all():
+            # Tracking-diverged tripwire (the reference's lost-tracking /
+            # auto-reset analog, src/Tracking.cc:699-707): fall back to the
+            # motion-model prediction rather than poisoning the trajectory.
+            T_cw = np.asarray(T_init, np.float32)
         self.timings["track"] += time.perf_counter() - t0
         self.timings["n_track"] += 1
         self.velocity = (T_cw @ np.linalg.inv(self.last_T_cw)).astype(np.float32)
