@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def test_run_rgbd_cli_synthetic(tmp_path):
     from gsorb_slam_tpu.apps.run_rgbd import main

@@ -12,6 +12,9 @@ from gsorb_slam_tpu.core.config import (
 from gsorb_slam_tpu.raster import RasterConfig
 from gsorb_slam_tpu.slam.dataset import SyntheticDataset
 from gsorb_slam_tpu.slam.system import System
+import pytest
+
+pytestmark = pytest.mark.slow
 
 RCFG = RasterConfig(tile=16, tile_capacity=2048, max_dup=16, chunk=128, dilate_px=8.0)
 

@@ -7,12 +7,14 @@ def test_mesh_has_8_virtual_devices():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_2():
     import __graft_entry__ as ge
 
@@ -30,6 +32,7 @@ def test_entry_compiles():
     assert color.shape == (240, 320, 3)
 
 
+@pytest.mark.slow
 def test_parallel_step_matches_single_device():
     """The 2-device data-parallel mapping step must equal the single-device
     batched step (same psum'd gradients)."""
@@ -122,6 +125,7 @@ def test_parallel_step_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_system_mesh_mapping_end_to_end(rng):
     """System(use_mesh=True) on the 8-virtual-device CPU mesh: tracking +
     data-parallel window mapping stay finite and converge on a short

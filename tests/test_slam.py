@@ -131,6 +131,7 @@ def _small_config(cam_w=64, cam_h=48, f=60.0):
     )
 
 
+@pytest.mark.slow
 def test_system_end_to_end_synthetic():
     """Full System loop on a synthetic sequence: ATE must be small and the
     final map must re-render the first frame with decent PSNR."""

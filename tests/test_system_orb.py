@@ -17,6 +17,9 @@ from gsorb_slam_tpu.eval.ate import ate_rmse
 from gsorb_slam_tpu.raster import RasterConfig
 from gsorb_slam_tpu.slam.dataset import SyntheticDataset
 from gsorb_slam_tpu.slam.system import System
+import pytest
+
+pytestmark = pytest.mark.slow
 
 RCFG = RasterConfig(tile=16, tile_capacity=2048, max_dup=16, chunk=128, dilate_px=8.0)
 
