@@ -84,6 +84,7 @@ class GeometricFrontend:
         seed: int = 0,
         dist: Distortion | None = None,
         bf: float = 0.0,  # stereo baseline * fx (for stereo BA edges)
+        local_map_cap: int = 4000,  # max local-map points per frame
     ):
         self.cam = cam
         self.dist = dist if dist is not None else Distortion()
@@ -92,6 +93,7 @@ class GeometricFrontend:
         self.th_depth = th_depth
         self.match_capacity = match_capacity
         self.local_ba_every = local_ba_every
+        self.local_map_cap = local_map_cap
         self.sigma2 = level_sigma2(orb_cfg)
 
         P = max_points
@@ -106,10 +108,19 @@ class GeometricFrontend:
         # for the distinctive-descriptor refresh (capped ring).
         self.pt_normal = np.zeros((P, 3), np.float32)
         self.pt_obs_desc: dict[int, list] = {}
+        # Incremental point -> observing-keyframe index (the columnar
+        # equivalent of MapPoint::mObservations). Maintained at every
+        # point_ids assignment; powers covisibility(), KeyFrameCulling and
+        # the covisibility-based local map WITHOUT the O(K*N) per-call set
+        # intersections of the r2 design.
+        self.pt_obs_kf: dict[int, set[int]] = {}
         self.n_points = 0
 
         self.keyframes: list[KeyFrameFeatures] = []
         self.kf_counter = 0
+        # Map-point ids matched (inliers) in the most recent tracked frame —
+        # the vote source for Tracking::UpdateLocalKeyFrames.
+        self.last_matched_points: np.ndarray = np.zeros(0, np.int64)
 
         def _extract_undistorted(g):
             feats = extract_orb(g, orb_cfg)
@@ -140,16 +151,71 @@ class GeometricFrontend:
 
     # ------------------------------------------------------------- tracking
 
-    def local_map_points(self, max_pts: int = 4000) -> np.ndarray:
-        """Indices of candidate local map points (recent + most observed)."""
+    def _observe_kf(self, p: int, kf_id: int) -> None:
+        self.pt_obs_kf.setdefault(int(p), set()).add(int(kf_id))
+
+    def local_keyframes(self, max_kfs: int = 80) -> list[int]:
+        """Covisibility-assembled local keyframe set
+        (``Tracking::UpdateLocalKeyFrames`` ``src/Tracking.cc:1572-1660``):
+        every keyframe observing a point matched in the current frame votes;
+        voters plus their top covisible neighbors form the local window."""
+        votes: dict[int, int] = {}
+        for p in self.last_matched_points:
+            for k in self.pt_obs_kf.get(int(p), ()):
+                votes[k] = votes.get(k, 0) + 1
+        alive = {kf.kf_id for kf in self.keyframes}
+        voters = [k for k, _ in sorted(votes.items(), key=lambda x: -x[1])
+                  if k in alive]
+        local = list(voters[:max_kfs])
+        chosen = set(local)
+        by_id = {kf.kf_id: kf for kf in self.keyframes}
+        # Neighbor expansion: each voter contributes its best covisible
+        # neighbors (the reference adds 10 per voter, src/Tracking.cc:1630).
+        for k in voters:
+            if len(local) >= max_kfs:
+                break
+            for nid, _w in self.covisibility(by_id[k])[:10]:
+                if nid not in chosen:
+                    chosen.add(nid)
+                    local.append(nid)
+                    if len(local) >= max_kfs:
+                        break
+        return local
+
+    def local_map_points(self, max_pts: int | None = None) -> np.ndarray:
+        """Indices of candidate local map points.
+
+        With a tracked previous frame: all valid points observed by the
+        covisibility-assembled local keyframes
+        (``Tracking::UpdateLocalPoints`` ``src/Tracking.cc:1662-1690``) —
+        after a revisit or loop the tracker re-acquires OLD map regions.
+        Fallback (bootstrap / lost): the most recent points."""
+        if max_pts is None:
+            max_pts = self.local_map_cap
+        lkfs = self.local_keyframes() if len(self.last_matched_points) else []
+        if lkfs:
+            by_id = {kf.kf_id: kf for kf in self.keyframes}
+            sel: list[int] = []
+            seen: set[int] = set()
+            for k in lkfs:
+                pids = by_id[k].point_ids
+                for p in pids[pids >= 0].tolist():
+                    if p not in seen and self.pt_valid[p]:
+                        seen.add(p)
+                        sel.append(p)
+            if len(sel) >= 20:
+                # over-cap: keep points of the best-voted keyframes first
+                return np.asarray(sel[:max_pts], np.int64)
         ids = np.nonzero(self.pt_valid)[0]
         if len(ids) > max_pts:
             ids = ids[-max_pts:]
         return ids
 
-    def _local_map_padded(self, max_pts: int = 4000):
+    def _local_map_padded(self, max_pts: int | None = None):
         """(ids, world, desc, valid) padded to a power-of-two bucket so the
         projection-matcher shape is stable across frames."""
+        if max_pts is None:
+            max_pts = self.local_map_cap
         ids = self.local_map_points(max_pts)
         cap = min(_bucket(max(len(ids), 1), lo=256), max_pts)
         world = _pad_rows(self.pt_pos[ids], cap)
@@ -222,6 +288,10 @@ class GeometricFrontend:
         inl = np.asarray(res.inliers)[: min(n, cap)]
         matched_ids = ids[mv][:cap]
         self.pt_found[matched_ids[inl]] += 1
+        # Vote source for the next frame's covisibility local map
+        # (Tracking::UpdateLocalKeyFrames "all points tracked last frame").
+        if int(inl.sum()) >= 10:
+            self.last_matched_points = matched_ids[inl].astype(np.int64)
         n_inl = int(inl.sum())
         T_res = np.asarray(res.T_cw)
         T_orb = T_res if (n_inl >= 10 and np.isfinite(T_res).all()) else None
@@ -313,6 +383,7 @@ class GeometricFrontend:
             self.pt_found[p] = 1
             self.pt_normal[p] = 0.0
             self._observe_point(p, desc[i], cam_center)
+            self._observe_kf(p, self.kf_counter)
             point_ids[i] = p
             self.n_points += 1
             created += 1
@@ -396,15 +467,20 @@ class GeometricFrontend:
         return int(bad.sum())
 
     def covisibility(self, kf: KeyFrameFeatures, min_shared: int = 15):
-        """KFs sharing >= min_shared map points (``KeyFrame::UpdateConnections``)."""
-        mine = set(kf.point_ids[kf.point_ids >= 0].tolist())
-        out = []
-        for other in self.keyframes:
-            if other.kf_id == kf.kf_id:
+        """KFs sharing >= min_shared map points (``KeyFrame::UpdateConnections``).
+
+        Computed by voting over the incremental point->KF index: O(obs of
+        this KF), not O(K*N) set intersections (r2's quadratic pain at
+        ScanNet keyframe counts)."""
+        votes: dict[int, int] = {}
+        for p in kf.point_ids[kf.point_ids >= 0].tolist():
+            if not self.pt_valid[p]:
                 continue
-            shared = len(mine & set(other.point_ids[other.point_ids >= 0].tolist()))
-            if shared >= min_shared:
-                out.append((other.kf_id, shared))
+            for k in self.pt_obs_kf.get(int(p), ()):
+                if k != kf.kf_id:
+                    votes[k] = votes.get(k, 0) + 1
+        alive = {k.kf_id for k in self.keyframes}
+        out = [(k, s) for k, s in votes.items() if s >= min_shared and k in alive]
         out.sort(key=lambda x: -x[1])
         return out
 
@@ -493,6 +569,8 @@ class GeometricFrontend:
             self.pt_found[p] = 2
             kf1.point_ids[idx1[j]] = p
             kf2.point_ids[idx2[j]] = p
+            self._observe_kf(p, kf1.kf_id)
+            self._observe_kf(p, kf2.kf_id)
             self.n_points += 1
             created += 1
         return created
@@ -522,6 +600,7 @@ class GeometricFrontend:
         kf_desc = np.asarray(kf.feats.descriptors)
         cam_center = (-kf.T_cw[:3, :3].T @ kf.T_cw[:3, 3]).astype(np.float32)
         touched = []
+        by_id = {k.kf_id: k for k in self.keyframes}
         for i in np.nonzero(mv)[0]:
             p_new = int(ids[i])
             if not self.pt_valid[p_new]:  # already merged away this pass
@@ -530,6 +609,7 @@ class GeometricFrontend:
             if existing < 0:
                 kf.point_ids[kp[i]] = p_new
                 self._observe_point(p_new, kf_desc[kp[i]], cam_center)
+                self._observe_kf(p_new, kf.kf_id)
                 touched.append(p_new)
                 continue
             if existing == p_new or not self.pt_valid[existing]:
@@ -548,7 +628,16 @@ class GeometricFrontend:
             self.pt_found[keep] += self.pt_found[drop]
             self.pt_visible[keep] += self.pt_visible[drop]
             kf.point_ids[kp[i]] = keep
+            # MapPoint::Replace — the loser's observers now observe the
+            # winner: rewrite their keypoint slots and merge observer sets.
+            drop_obs = self.pt_obs_kf.pop(drop, set())
+            for kid in drop_obs:
+                other = by_id.get(kid)
+                if other is not None:
+                    other.point_ids[other.point_ids == drop] = keep
+                self._observe_kf(keep, kid)
             self._observe_point(keep, kf_desc[kp[i]], cam_center)
+            self._observe_kf(keep, kf.kf_id)
             touched.append(keep)
             fused += 1
         # Distinctive-descriptor refresh for every point that gained an
@@ -561,21 +650,25 @@ class GeometricFrontend:
         keyframes (``LocalMapping::KeyFrameCulling`` ``src/LocalMapping.cc:640``,
         which uses 95% of close points; the columnar check counts all
         observed points). Returns culled kf ids."""
-        obs_count: dict[int, int] = {}
-        for kf in self.keyframes:
-            for p in kf.point_ids[kf.point_ids >= 0]:
-                if self.pt_valid[p]:
-                    obs_count[int(p)] = obs_count.get(int(p), 0) + 1
         culled = []
-        # Never cull the first two or the latest keyframe.
+        # Never cull the first two or the latest keyframe. Observation
+        # counts come from the incremental point->KF index (no O(K*N)
+        # rebuild per call).
         for kf in self.keyframes[2:-1]:
             pts = [int(p) for p in kf.point_ids[kf.point_ids >= 0] if self.pt_valid[p]]
             if len(pts) < 10:
                 continue
-            redundant = sum(1 for p in pts if obs_count.get(p, 0) >= 4)
+            redundant = sum(
+                1 for p in pts if len(self.pt_obs_kf.get(p, ())) >= 4
+            )
             if redundant / len(pts) >= min_redundant:
                 culled.append(kf.kf_id)
-        self.keyframes = [kf for kf in self.keyframes if kf.kf_id not in set(culled)]
+        culled_set = set(culled)
+        for kf in self.keyframes:
+            if kf.kf_id in culled_set:
+                for p in kf.point_ids[kf.point_ids >= 0].tolist():
+                    self.pt_obs_kf.get(int(p), set()).discard(kf.kf_id)
+        self.keyframes = [kf for kf in self.keyframes if kf.kf_id not in culled_set]
         return culled
 
     def relocalize(self, feats: ORBFeatures, n_candidates: int = 3, kfdb=None):

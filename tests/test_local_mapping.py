@@ -101,3 +101,60 @@ def test_map_point_maintenance_normals_and_descriptors(rng):
     fe.pt_obs_desc[p] = [base, base.copy(), outlier]
     fe.refresh_descriptors([p])
     assert (fe.pt_desc[p] == base).all()
+
+
+def test_covisibility_local_map_reacquires_old_region(rng):
+    """Pan A -> B -> back to A. Region B holds more points than the
+    local-map cap, so a recency-window local map would evict region A's
+    points; the covisibility-assembled local map
+    (``Tracking::UpdateLocalKeyFrames/UpdateLocalPoints``,
+    ``src/Tracking.cc:1572-1716``) must still re-acquire them on return."""
+    cam = Camera(fx=200.0, fy=200.0, cx=160.0, cy=120.0, width=320, height=240)
+    fe = GeometricFrontend(
+        cam, ORBConfig(n_features=400, n_levels=2), max_points=20000,
+        local_ba_every=100, local_map_cap=700,
+    )
+    z = 2.0
+    # One long textured wall; camera x-translation t shows a window shifted
+    # by fx*t/z pixels.
+    n_steps = 8
+    step_t = 0.4
+    pan_px = int(round(cam.fx * step_t * n_steps / z))
+    wall = make_textured_image(rng, h=240, w=320 + pan_px + 10, n_blobs=400)
+    depth = np.full((240, 320), z, np.float32)
+
+    def view(t):
+        off = int(round(cam.fx * t / z))
+        return wall[:, off : off + 320]
+
+    def pose(t):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = -t  # x_cam = x_world - t
+        return T
+
+    # outbound pan: keyframe at every step (region A = steps 0..1)
+    for i in range(n_steps + 1):
+        t = i * step_t
+        feats = fe._extract(jnp.asarray(view(t)))
+        fe.create_keyframe(feats, depth, pose(t), frame_id=i,
+                           max_new_points=250)
+        res = fe.process_frame(view(t), pose(t), feats=feats)
+        assert res.T_orb is not None, f"lost at outbound step {i}"
+    region_a_last_point = int(fe.keyframes[1].point_ids.max())
+    assert fe.n_points - region_a_last_point > fe.local_map_cap, (
+        "test setup: region B must exceed the local-map cap "
+        f"({fe.n_points - region_a_last_point} vs {fe.local_map_cap})"
+    )
+
+    # return pan: no new keyframes, just tracking
+    reacquired = 0
+    for i in range(n_steps - 1, -1, -1):
+        t = i * step_t
+        res = fe.process_frame(view(t), pose(t))
+        assert res.T_orb is not None, f"lost at return step {i}"
+        if i <= 1:
+            old = fe.last_matched_points <= region_a_last_point
+            reacquired = max(reacquired, int(old.sum()))
+    assert reacquired > 30, (
+        f"covisibility local map re-acquired only {reacquired} old points"
+    )

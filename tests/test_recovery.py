@@ -47,6 +47,8 @@ def test_cull_keyframes_removes_redundant(rng):
             feats, depth, np.eye(4, dtype=np.float32), i, run_local_mapping=False
         )
         kf.point_ids = kf0.point_ids.copy()
+        for p in kf.point_ids[kf.point_ids >= 0]:
+            fe._observe_kf(int(p), kf.kf_id)
     n_before = len(fe.keyframes)
     culled = fe.cull_keyframes()
     assert len(culled) >= 1
