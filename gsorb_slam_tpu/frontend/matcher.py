@@ -190,12 +190,29 @@ def search_by_projection(
     radius: float = 15.0,
     max_dist: int = TH_HIGH,
     normals: jnp.ndarray | None = None,  # [M, 3] mean viewing directions
+    min_dists: jnp.ndarray | None = None,  # [M] scale-invariance min dist
+    max_dists: jnp.ndarray | None = None,  # [M] scale-invariance max dist
+    scale_factors: jnp.ndarray | None = None,  # [L] per-octave 1.2^l
+    octave_lo: int = 1,  # candidate octaves [pred-octave_lo, pred+octave_hi]
+    octave_hi: int = 0,
+    use_view_cos_radius: bool = True,  # False: Fuse semantics (r = th*sf)
 ) -> MatchResult:
     """Project map points into the frame and match within a pixel window
     (``SearchByProjection`` ``src/ORBmatcher.cc:45,1328``; the reference's
     per-cell grid lookup becomes a masked distance matrix). With
     ``normals``, points viewed >60 degrees off their mean viewing direction
-    are excluded (``Frame::isInFrustum`` viewCos < 0.5 gate)."""
+    are excluded (``Frame::isInFrustum`` viewCos < 0.5 gate).
+
+    With ``min_dists``/``max_dists``/``scale_factors`` the scale-invariance
+    machinery is live (``MapPoint::PredictScale`` ``src/MapPoint.cc:386`` +
+    ``GetMin/MaxDistanceInvariance`` ``include/MapPoint.h:79-82``):
+    points outside [0.8*minD, 1.2*maxD] of the camera are dropped
+    (``Frame::isInFrustum``), the search window becomes
+    ``RadiusByViewingCos * scale_factors[predicted_level]`` scaled by
+    ``radius`` acting as the reference's ``th`` multiplier, and candidate
+    keypoints are restricted to octaves near the predicted level
+    (``src/ORBmatcher.cc:45-157``). Entries with ``max_dists <= 0`` skip
+    the gates (points created before scale bookkeeping)."""
     R = T_cw[:3, :3]
     t = T_cw[:3, 3]
     xc = jnp.matmul(world, R.T, precision=jax.lax.Precision.HIGHEST) + t
@@ -206,22 +223,60 @@ def search_by_projection(
     v = cam.fy * xc[:, 1] / safe_z + cam.cy
     on_img = (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
     ok = pt_valid & in_front & on_img
+    cam_center = -R.T @ t
+    view = world - cam_center[None, :]
+    dist3d = jnp.linalg.norm(view, axis=-1)
+    view_cos = None
     if normals is not None:
-        cam_center = -R.T @ t
-        view = world - cam_center[None, :]
-        vn = view / jnp.maximum(
-            jnp.linalg.norm(view, axis=-1, keepdims=True), 1e-9
-        )
+        vn = view / jnp.maximum(dist3d[:, None], 1e-9)
         view_cos = jnp.sum(vn * normals, axis=-1)
         has_normal = jnp.linalg.norm(normals, axis=-1) > 0.5
         ok = ok & (~has_normal | (view_cos > 0.5))
+        view_cos = jnp.where(has_normal, view_cos, 1.0)
+
+    use_scale = (
+        min_dists is not None and max_dists is not None
+        and scale_factors is not None
+    )
+    if use_scale:
+        has_range = max_dists > 0
+        ok = ok & (
+            ~has_range
+            | ((dist3d >= 0.8 * min_dists) & (dist3d <= 1.2 * max_dists))
+        )
+        L = scale_factors.shape[0]
+        log_sf = jnp.log(scale_factors[min(1, L - 1)])
+        ratio = jnp.maximum(max_dists, 1e-6) / jnp.maximum(dist3d, 1e-6)
+        pred = jnp.clip(
+            jnp.ceil(jnp.log(ratio) / jnp.maximum(log_sf, 1e-6)).astype(jnp.int32),
+            0, L - 1,
+        )
+        if not use_view_cos_radius:
+            base_r = 1.0
+        elif view_cos is None:
+            base_r = 4.0
+        else:
+            base_r = jnp.where(view_cos > 0.998, 2.5, 4.0)
+        fallback_r = radius * (4.0 if use_view_cos_radius else 1.0)
+        r_pt = jnp.where(
+            has_range, radius * base_r * scale_factors[pred], fallback_r
+        )
+        kp_oct = frame.octave[None, :]
+        oct_ok = (
+            ~has_range[:, None]
+            | ((kp_oct >= pred[:, None] - octave_lo)
+               & (kp_oct <= pred[:, None] + octave_hi))
+        )
+    else:
+        r_pt = jnp.full(world.shape[0], radius, jnp.float32)
+        oct_ok = True
 
     du = u[:, None] - frame.uv[None, :, 0]
     dv = v[:, None] - frame.uv[None, :, 1]
-    within = (du * du + dv * dv) <= radius * radius  # [M, N]
+    within = (du * du + dv * dv) <= (r_pt * r_pt)[:, None]  # [M, N]
 
     D = hamming_matrix(descriptors, frame.descriptors)
-    D = jnp.where(within & frame.valid[None, :] & ok[:, None], D, BIG)
+    D = jnp.where(within & oct_ok & frame.valid[None, :] & ok[:, None], D, BIG)
     best = jnp.argmin(D, axis=1)
     d_best = jnp.take_along_axis(D, best[:, None], axis=1)[:, 0]
     valid = ok & (d_best <= max_dist)

@@ -107,6 +107,14 @@ class GeometricFrontend:
         # direction (zero = not yet set) and per-point observed descriptors
         # for the distinctive-descriptor refresh (capped ring).
         self.pt_normal = np.zeros((P, 3), np.float32)
+        # Scale-invariance distance range (MapPoint::UpdateNormalAndDepth,
+        # include/MapPoint.h:79-82): max = obs-dist * sf^octave,
+        # min = max / sf^(L-1). Zero = not yet set (gates skipped).
+        self.pt_min_dist = np.zeros(P, np.float32)
+        self.pt_max_dist = np.zeros(P, np.float32)
+        self.scale_factors = (
+            orb_cfg.scale_factor ** np.arange(orb_cfg.n_levels)
+        ).astype(np.float32)
         self.pt_obs_desc: dict[int, list] = {}
         # Incremental point -> observing-keyframe index (the columnar
         # equivalent of MapPoint::mObservations). Maintained at every
@@ -153,6 +161,15 @@ class GeometricFrontend:
 
     def _observe_kf(self, p: int, kf_id: int) -> None:
         self.pt_obs_kf.setdefault(int(p), set()).add(int(kf_id))
+
+    def _set_scale_range(self, p: int, cam_center: np.ndarray, octave: int) -> None:
+        """Scale-invariance distances from the observing octave
+        (``MapPoint::UpdateNormalAndDepth``: max = dist * sf^octave,
+        min = max / sf^(nLevels-1))."""
+        dist = float(np.linalg.norm(self.pt_pos[p] - cam_center))
+        octave = int(np.clip(octave, 0, len(self.scale_factors) - 1))
+        self.pt_max_dist[p] = dist * self.scale_factors[octave]
+        self.pt_min_dist[p] = self.pt_max_dist[p] / self.scale_factors[-1]
 
     def local_keyframes(self, max_kfs: int = 80) -> list[int]:
         """Covisibility-assembled local keyframe set
@@ -221,9 +238,11 @@ class GeometricFrontend:
         world = _pad_rows(self.pt_pos[ids], cap)
         desc = _pad_rows(self.pt_desc[ids], cap)
         normals = _pad_rows(self.pt_normal[ids], cap)
+        dmin = _pad_rows(self.pt_min_dist[ids], cap)
+        dmax = _pad_rows(self.pt_max_dist[ids], cap)
         valid = np.zeros(cap, bool)
         valid[: min(len(ids), cap)] = self.pt_valid[ids[:cap]]
-        return ids[:cap], world, desc, valid, normals
+        return ids[:cap], world, desc, valid, normals, dmin, dmax
 
     def process_frame(
         self,
@@ -243,7 +262,12 @@ class GeometricFrontend:
         if len(ids) < 20:
             return FrontendResult(None, empty, 0, 0, 0, feats)
 
-        ids, world_p, desc_p, valid_p, norm_p = self._local_map_padded()
+        ids, world_p, desc_p, valid_p, norm_p, dmin_p, dmax_p = (
+            self._local_map_padded()
+        )
+        # radius acts as the reference's `th` multiplier once scale info is
+        # present: window = th * RadiusByViewingCos * sf[predicted level]
+        # (src/ORBmatcher.cc:45-157; th=3 covers the motion-model prior).
         m = search_by_projection(
             jnp.asarray(world_p),
             jnp.asarray(desc_p),
@@ -251,8 +275,11 @@ class GeometricFrontend:
             feats,
             jnp.asarray(T_pred),
             self.cam,
-            radius=12.0,
+            radius=3.0,
             normals=jnp.asarray(norm_p),
+            min_dists=jnp.asarray(dmin_p),
+            max_dists=jnp.asarray(dmax_p),
+            scale_factors=jnp.asarray(self.scale_factors),
         )
         mv = np.asarray(m.valid)[: len(ids)]
         self.pt_visible[ids[mv]] += 1
@@ -353,6 +380,7 @@ class GeometricFrontend:
             vi = np.clip(uv_raw[:, 1].astype(int), 0, depth.shape[0] - 1)
             z = depth[vi, ui]
         ok = v & (z > 0)
+        octv_np = np.asarray(feats.octave)
         order = np.argsort(np.where(ok, z, np.inf))
         created = 0
         T_wc = np.linalg.inv(T_cw)
@@ -384,6 +412,7 @@ class GeometricFrontend:
             self.pt_normal[p] = 0.0
             self._observe_point(p, desc[i], cam_center)
             self._observe_kf(p, self.kf_counter)
+            self._set_scale_range(p, cam_center, int(octv_np[i]))
             point_ids[i] = p
             self.n_points += 1
             created += 1
@@ -571,6 +600,11 @@ class GeometricFrontend:
             kf2.point_ids[idx2[j]] = p
             self._observe_kf(p, kf1.kf_id)
             self._observe_kf(p, kf2.kf_id)
+            c1w_ = -kf1.T_cw[:3, :3].T @ kf1.T_cw[:3, 3]
+            self._set_scale_range(
+                p, c1w_.astype(np.float32),
+                int(np.asarray(kf1.feats.octave)[idx1[j]]),
+            )
             self.n_points += 1
             created += 1
         return created
@@ -583,7 +617,11 @@ class GeometricFrontend:
 
         if len(self.local_map_points()) < 10:
             return 0
-        ids, world_p, desc_p, valid_p, _norm_p = self._local_map_padded()
+        ids, world_p, desc_p, valid_p, _norm_p, dmin_p, dmax_p = (
+            self._local_map_padded()
+        )
+        # Fuse semantics: window = th * sf[predicted level], no viewing-cos
+        # base radius (src/ORBmatcher.cc:890), octaves [pred-1, pred].
         m = search_by_projection(
             jnp.asarray(world_p),
             jnp.asarray(desc_p),
@@ -593,6 +631,10 @@ class GeometricFrontend:
             self.cam,
             radius=radius,
             max_dist=50,
+            min_dists=jnp.asarray(dmin_p),
+            max_dists=jnp.asarray(dmax_p),
+            scale_factors=jnp.asarray(self.scale_factors),
+            use_view_cos_radius=False,
         )
         mv = np.asarray(m.valid)[: len(ids)]
         kp = np.asarray(m.idx2)[: len(ids)]
