@@ -89,3 +89,92 @@ def ransac_sim3(
         R=Rr, t=tr, s=sr, inliers=inliers,
         n_inliers=jnp.sum(inliers.astype(jnp.int32)),
     )
+
+
+def optimize_sim3_reprojection(
+    T12_init: jnp.ndarray,  # [4, 4] camera1-from-camera2 (SE3; RGB-D fixes s=1)
+    xc2: jnp.ndarray,  # [M, 3] matched points in camera-2 frame
+    uv1: jnp.ndarray,  # [M, 2] observations in image 1 (undistorted)
+    xc1: jnp.ndarray,  # [M, 3] matched points in camera-1 frame
+    uv2: jnp.ndarray,  # [M, 2] observations in image 2
+    inv_sigma2_1: jnp.ndarray,  # [M] octave information weights (image 1)
+    inv_sigma2_2: jnp.ndarray,  # [M]
+    valid: jnp.ndarray,  # [M] bool
+    cam,
+    iters: int = 10,
+    chi2_th: float = 10.0,
+    damping: float = 1e-4,
+):
+    """Image-plane refinement of the loop-closure transform — the
+    ``Optimizer::OptimizeSim3`` equivalent (``src/Optimizer.cc:1047``):
+    bidirectional reprojection edges (point-2 through T12 into image 1,
+    point-1 through T12^-1 into image 2) with Huber(sqrt(10)) and a
+    final chi2 <= 10 inlier gate on BOTH edges, as 6-DoF Gauss-Newton
+    (scale fixed: RGB-D ``mbFixScale``, ``src/LoopClosing.cc:234``).
+
+    Materially better than a 3D-point Horn refit when depth error
+    dominates: image-plane residuals weight what the cameras actually
+    measured. Returns (T12, inlier mask, n_inliers).
+    """
+    huber = jnp.sqrt(chi2_th)
+
+    def proj(xc):
+        z = jnp.maximum(xc[:, 2], 1e-3)
+        return jnp.stack(
+            [cam.fx * xc[:, 0] / z + cam.cx, cam.fy * xc[:, 1] / z + cam.cy],
+            -1,
+        )
+
+    def residuals(xi, T12):
+        T = se3_exp6(xi) @ T12
+        Rm, tm = T[:3, :3], T[:3, 3]
+        y1 = xc2 @ Rm.T + tm  # into camera 1
+        r1 = proj(y1) - uv1
+        # inverse transform into camera 2
+        y2 = (xc1 - tm) @ Rm
+        r2 = proj(y2) - uv2
+        good = valid & (y1[:, 2] > 1e-2) & (y2[:, 2] > 1e-2)
+        r = jnp.concatenate([r1, r2], axis=-1)  # [M, 4]
+        return jnp.clip(r, -1e4, 1e4), good
+
+    def chi2_of(r):
+        c1 = inv_sigma2_1 * jnp.sum(r[:, :2] ** 2, -1)
+        c2 = inv_sigma2_2 * jnp.sum(r[:, 2:] ** 2, -1)
+        return c1, c2
+
+    def it(_, T12):
+        zero = jnp.zeros(6, jnp.float32)
+        (r, good), Jfn = (residuals(zero, T12),
+                          jax.jacfwd(lambda x: residuals(x, T12)[0]))
+        J = Jfn(zero)  # [M, 4, 6]
+        c1, c2 = chi2_of(r)
+        w1 = inv_sigma2_1 * _huber_w(c1, huber)
+        w2 = inv_sigma2_2 * _huber_w(c2, huber)
+        w = jnp.concatenate(
+            [jnp.stack([w1, w1], -1), jnp.stack([w2, w2], -1)], -1
+        )  # [M, 4]
+        w = w * good[:, None]
+        JtW = J * w[:, :, None]
+        H = jnp.einsum("mri,mrj->ij", JtW, J) + damping * jnp.eye(6)
+        b = jnp.einsum("mri,mr->i", JtW, r)
+        dx = -jnp.linalg.solve(H, b)
+        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros(6))
+        return se3_exp6(dx) @ T12
+
+    T12 = jax.lax.fori_loop(0, iters, it, T12_init)
+    r, good = residuals(jnp.zeros(6, jnp.float32), T12)
+    c1, c2 = chi2_of(r)
+    inl = good & (c1 <= chi2_th) & (c2 <= chi2_th)
+    return T12, inl, jnp.sum(inl.astype(jnp.int32))
+
+
+def _huber_w(chi2, delta):
+    e = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+    return jnp.where(e <= delta, 1.0, delta / e)
+
+
+def se3_exp6(xi: jnp.ndarray) -> jnp.ndarray:
+    """exp of [rho, phi] twist -> [4, 4] (local import avoids a cycle)."""
+    from gsorb_slam_tpu.core.transforms import se3_exp
+
+    return se3_exp(xi)

@@ -228,3 +228,25 @@ def load_orbvoc_text(path: str) -> Vocabulary:
         word_id=word_id, weights=np.array(weights, np.float32),
         n_words=len(weights),
     )
+
+
+_DEFAULT_VOCAB_CACHE: "Vocabulary | None" = None
+
+
+def default_vocabulary() -> "Vocabulary | None":
+    """Load the packaged synthetic-ORB vocabulary artifact
+    (``gsorb_slam_tpu/assets/ORBvoc_synth.txt``, trained by
+    ``scripts/train_vocab.py``) — the role of the reference's
+    ``Vocabulary/ORBvoc.txt`` loaded at System startup
+    (``src/System.cc:86-96``). Returns None if the artifact is missing."""
+    global _DEFAULT_VOCAB_CACHE
+    if _DEFAULT_VOCAB_CACHE is not None:
+        return _DEFAULT_VOCAB_CACHE
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "assets",
+                        "ORBvoc_synth.txt")
+    if not os.path.exists(path):
+        return None
+    _DEFAULT_VOCAB_CACHE = load_orbvoc_text(path)
+    return _DEFAULT_VOCAB_CACHE

@@ -154,12 +154,16 @@ def preprocess_instances(
     vf = valid.astype(jnp.float32)
 
     zero = jnp.zeros_like(vf)
+    # Conic rows carry the valid mask: invalid instances (behind camera /
+    # det<=0) would otherwise hold garbage conics whose quadratic can go
+    # POSITIVE — the lean fused kernel drops the per-element power<=0 gate
+    # and relies on zeroed conics collapsing ln(alpha) to ln(op) = -inf.
     rows = [
         u,
         v,
-        c * inv_det,
-        -b * inv_det,
-        a * inv_det,
+        c * inv_det * vf,
+        -b * inv_det * vf,
+        a * inv_det * vf,
         # Opacity carries the live mask: the Pallas kernels gate contribution
         # purely on alpha, never reading the live row.
         jax.nn.sigmoid(logit_op) * vf,

@@ -458,9 +458,11 @@ def _pack_instances(prep: Preprocessed, bins: TileBins) -> jnp.ndarray:
         [
             prep.mean2d[:, 0],
             prep.mean2d[:, 1],
-            prep.conic[:, 0],
-            prep.conic[:, 1],
-            prep.conic[:, 2],
+            # conic rows masked by validity: invalid conics can be garbage
+            # (det<=0) and the lean fused path has no per-element power gate
+            prep.conic[:, 0] * vf,
+            prep.conic[:, 1] * vf,
+            prep.conic[:, 2] * vf,
             prep.opacity * vf,
             prep.color[:, 0],
             prep.color[:, 1],
@@ -658,7 +660,7 @@ def blend_and_untile(
 # ---------------------------------------------------------------------------
 
 
-def _fused_track_kernel(
+def _fused_track_kernel_exact(
     counts_ref, packed_ref, gt_ref, grad_ref, loss_ref,
     alpha_scr, tpref_scr, acc_ref, pbas_ref, tri_ref, utri_ref,
     *, dims: _Dims, im_w: float, depth_w: float, use_sur: bool,
@@ -840,6 +842,216 @@ def _fused_track_kernel(
     jax.lax.fori_loop(0, n_super, bwd_body, 0)
 
 
+def _fused_track_kernel_fast(
+    counts_ref, packed_ref, gt_ref, grad_ref, loss_ref,
+    alpha_scr, tpref_scr, acc_ref, pbas_ref, tri_ref, utri_ref,
+    *, dims: _Dims, im_w: float, depth_w: float, use_sur: bool, B: int,
+):
+    """Lean fast-path fused tracking iteration, B tiles per grid step.
+
+    Rewrites of the exact kernel, all within the non-exact deviation budget
+    (<= 1e-4 in blended outputs; compiled-vs-XLA gated by scripts/tpu_smoke):
+
+    - NO per-element ``power <= 0`` gate: packed conic rows are zeroed for
+      invalid instances (see ``_pack_instances``/``preprocess_instances``),
+      so garbage quadratics cannot go positive and the single
+      ``alpha >= MIN_ALPHA`` test gates contribution. Removes the [K,1]
+      column-broadcast compare from the hot loop.
+    - NO ``done``/STOP_T masking per element: once a pixel's transmittance
+      is below 1e-4, the remaining weights sum to < 1e-4 by construction
+      (sum w <= T). Early exit still fires at super-chunk granularity.
+    - Median depth by TRANSMITTANCE CROSSING: the unique instance with
+      T_pref > 0.5 and T_pref*(1-alpha) <= 0.5 (monotone T => at most one
+      per pixel over the whole blend), accumulated with a plain add — no
+      iota/max/one-hot chain. Identical to CUDA's "last write while
+      T > 0.5" (forward.cu:375-379) wherever T actually crosses 0.5, which
+      the alpha>0.99 loss mask guarantees for every pixel in the loss.
+    - Chunk-exit transmittance by ROW EXTRACTION: T_out = T_pref[K-1] *
+      (1-alpha[K-1]) instead of a masked re-reduction.
+    - B tiles per grid step amortize the fixed per-step cost; scratch is
+      reused sequentially (phase A+B complete per tile).
+    """
+    pid = pl.program_id(0)
+    px, K, U = dims.px, dims.K, dims.unroll
+
+    @pl.when(pid == 0)
+    def _():
+        pbas_ref[...] = _pixel_basis(dims, 0).astype(pbas_ref.dtype)
+        tri_ref[...] = _tri(K, True, tri_ref.dtype)
+        utri_ref[...] = _tri(K, False, utri_ref.dtype)
+
+    grad_ref[...] = jnp.zeros(grad_ref.shape, grad_ref.dtype)
+
+    for b in range(B):
+        t = pid * B + b
+        count = counts_ref[t]
+        ox = ((t % dims.tx) * dims.ts).astype(jnp.float32)
+        oy = ((t // dims.tx) * dims.ts).astype(jnp.float32)
+
+        acc_ref[...] = jnp.zeros((8, px), jnp.float32)
+        acc_ref[6, :] = jnp.ones((px,), jnp.float32)
+
+        n_chunks_live = jnp.minimum(
+            (count + K - 1) // K, dims.n_chunks
+        ).astype(jnp.int32)
+        n_super = (n_chunks_live + U - 1) // U
+
+        # ---- phase A ----
+        def cond(sc):
+            return (sc < n_super) & (jnp.sum(acc_ref[7, :]) < px - 0.5)
+
+        def body(sc):
+            acc = acc_ref[0:6, :]
+            T = acc_ref[6:7, :]
+            for j in range(U):
+                c = sc * U + j
+                chunk = packed_ref[b, :, pl.ds(c * K, K)]
+                row = lambda r: chunk[r : r + 1, :]
+                mu = row(_MU) - ox
+                mv = row(_MV) - oy
+                ca, cb, cc = row(_CA), row(_CB), row(_CC)
+                op, z = row(_OP), row(_Z)
+                ln_op = jnp.log(jnp.maximum(op, 1e-12))
+                g0 = -0.5 * (ca * mu * mu + cc * mv * mv) - cb * mu * mv + ln_op
+                g1 = ca * mu + cb * mv
+                g2 = cc * mv + cb * mu
+                grows = jnp.concatenate(
+                    [g0, g1, g2, -0.5 * ca, -cb, -0.5 * cc,
+                     jnp.zeros((2, K), jnp.float32)], 0
+                )  # [8, K]
+                ln_alpha = _dg00_split(grows, pbas_ref[...])  # [K, px]
+                raw = jnp.exp(ln_alpha)
+                alpha = jnp.where(
+                    raw >= MIN_ALPHA, jnp.minimum(raw, 0.99), 0.0
+                )
+                s = jnp.log1p(-alpha)
+                if dims.bf16:
+                    cum_excl = _mm(tri_ref[...], s.astype(jnp.bfloat16))
+                else:
+                    cum_excl = _mm_split2_rev(tri_ref[...], s)
+                T_pref = T * jnp.exp(cum_excl)
+                w = alpha * T_pref
+                one_minus = 1.0 - alpha
+                alpha_scr[pl.ds(c * K, K), :] = alpha
+                tpref_scr[pl.ds(c * K, K), :] = T_pref
+                ones = jnp.ones((1, K), jnp.float32)
+                A5 = jnp.concatenate(
+                    [row(_R), row(_G), row(_B), z, ones], 0
+                )
+                accum = _mm(A5, w)  # [5, px]
+                # crossing median (self-masking: alpha=0 => no cross)
+                cross = ((T_pref > 0.5) & (T_pref * one_minus <= 0.5)).astype(
+                    jnp.float32
+                )
+                z_sel = _mm(z, cross)  # [1, px]
+                acc = jnp.concatenate([acc[0:5, :] + accum, acc[5:6, :] + z_sel], 0)
+                T = T_pref[K - 1 : K, :] * one_minus[K - 1 : K, :]
+            acc_ref[0:6, :] = acc
+            acc_ref[6:7, :] = T
+            acc_ref[7:8, :] = (T < STOP_T).astype(jnp.float32)
+            return sc + 1
+
+        sc_end = jax.lax.while_loop(cond, body, jnp.zeros((), jnp.int32))
+
+        # ---- cotangents + loss ----
+        Cr, Cg, Cb = acc_ref[0:1, :], acc_ref[1:2, :], acc_ref[2:3, :]
+        D = acc_ref[3:4, :]
+        S = acc_ref[4:5, :]
+        Med = acc_ref[5:6, :]
+        gtr, gtg, gtb = gt_ref[b, 0:1, :], gt_ref[b, 1:2, :], gt_ref[b, 2:3, :]
+        gtd = gt_ref[b, 3:4, :]
+        mask = ((S > 0.99) & (gtd > 0.0)).astype(jnp.float32)
+        dr, dg, db = Cr - gtr, Cg - gtg, Cb - gtb
+        loss_color = jnp.sum((jnp.abs(dr) + jnp.abs(dg) + jnp.abs(db)) * mask)
+        depth_pred = Med if use_sur else D
+        loss_depth = jnp.sum(jnp.abs(depth_pred - gtd) * mask)
+        gcoef = im_w * mask
+        dcoef = (0.0 if use_sur else depth_w) * mask
+        G5 = jnp.concatenate(
+            [
+                gcoef * jnp.sign(dr),
+                gcoef * jnp.sign(dg),
+                gcoef * jnp.sign(db),
+                dcoef * jnp.sign(D - gtd),
+                jnp.zeros((1, px), jnp.float32),
+            ],
+            0,
+        )
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, px), 1)
+        loss_ref[b, :, :] = jnp.where(
+            lane == 0, im_w * loss_color,
+            jnp.where(lane == 1, depth_w * loss_depth, 0.0),
+        )
+
+        # ---- phase B ----
+        acc_ref[7, :] = jnp.zeros((px,), jnp.float32)  # suffix accumulator R
+
+        def chunk_grad(c, R):
+            alpha_a = alpha_scr[pl.ds(c * K, K), :]
+            T_pref = tpref_scr[pl.ds(c * K, K), :]
+            w = alpha_a * T_pref
+            chunk = packed_ref[b, :, pl.ds(c * K, K)]
+            row = lambda r: chunk[r : r + 1, :]
+            ones = jnp.ones((1, K), jnp.float32)
+            A5 = jnp.concatenate([row(_R), row(_G), row(_B), row(_Z), ones], 0)
+            phi = jax.lax.dot_general(
+                A5, G5, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PREC,
+            )
+            wphi = w * phi
+            if dims.bf16:
+                suffix = _mm(utri_ref[...], wphi.astype(jnp.bfloat16)) + R
+            else:
+                suffix = _mm_split2_rev(utri_ref[...], wphi) + R
+            # alpha <= 0.99 => 1-alpha >= 0.01: no epsilon guard needed.
+            d_alpha = T_pref * phi - suffix / (1.0 - alpha_a)
+            live = (alpha_a > 0.0) & (alpha_a < 0.99)
+            d_power = jnp.where(live, d_alpha, 0.0) * alpha_a
+            Srows = _dgT_split2(pbas_ref[...], d_power)
+            WGrows = jax.lax.dot_general(
+                G5, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PREC,
+            )
+            S0 = Srows[0:1, :]
+            S1u = Srows[1:2, :]
+            S1v = Srows[2:3, :]
+            S2uu = Srows[3:4, :]
+            S2uv = Srows[4:5, :]
+            S2vv = Srows[5:6, :]
+            mu = row(_MU) - ox
+            mv = row(_MV) - oy
+            ca, cb, cc, op = row(_CA), row(_CB), row(_CC), row(_OP)
+            E0 = mu * S0 - S1u
+            E1 = mv * S0 - S1v
+            d_mu = -(ca * E0 + cb * E1)
+            d_mv = -(cc * E1 + cb * E0)
+            d_ca = -0.5 * (mu * mu * S0 - 2.0 * mu * S1u + S2uu)
+            d_cb = -(mu * mv * S0 - mu * S1v - mv * S1u + S2uv)
+            d_cc = -0.5 * (mv * mv * S0 - 2.0 * mv * S1v + S2vv)
+            d_op = S0 / jnp.maximum(op, 1e-12)
+            G16 = jnp.concatenate(
+                [d_mu, d_mv, d_ca, d_cb, d_cc, d_op, WGrows[0:4, :],
+                 jnp.zeros((16 - _N_GRAD, K), jnp.float32)],
+                axis=0,
+            )
+            grad_ref[b, :, pl.ds(c * K, K)] = G16
+            return R + jnp.sum(wphi, axis=0, keepdims=True)
+
+        def bwd_body(i, _):
+            sc = (sc_end - 1) - i
+
+            @pl.when(sc >= 0)
+            def _():
+                R = acc_ref[7:8, :]
+                for j in range(U - 1, -1, -1):
+                    R = chunk_grad(sc * U + j, R)
+                acc_ref[7:8, :] = R
+
+            return 0
+
+        jax.lax.fori_loop(0, n_super, bwd_body, 0)
+
+
 def tracking_loss_grad(
     packed: jnp.ndarray,  # [T, N_ATTR, cap] screen instances
     counts: jnp.ndarray,
@@ -864,52 +1076,109 @@ def tracking_loss_grad(
     if not interpret:
         assert dims.K % 128 == 0, "chunk must be a multiple of 128 on TPU"
     T = dims.n_tiles
+
+    if dims.exact:
+        # CUDA-exact early-stop semantics: single-tile grid, full gating.
+        grads, loss = pl.pallas_call(
+            functools.partial(
+                _fused_track_kernel_exact, dims=dims, im_w=float(im_weight),
+                depth_w=float(depth_weight), use_sur=bool(use_sur_depth),
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(T,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, N_ATTR, cap), lambda t, *_: (t, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, 4, dims.px), lambda t, *_: (t, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=[
+                    pl.BlockSpec(
+                        (1, N_ATTR, cap), lambda t, *_: (t, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, dims.px), lambda t, *_: (t, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((cap, dims.px), jnp.float32),  # applied alpha
+                    pltpu.VMEM((cap, dims.px), jnp.float32),  # prefix T
+                    pltpu.VMEM((8, dims.px), jnp.float32),  # accumulators
+                    pltpu.VMEM((8, dims.px), jnp.bfloat16),  # pixel basis
+                    pltpu.VMEM((dims.K, dims.K), jnp.bfloat16),
+                    pltpu.VMEM((dims.K, dims.K), jnp.bfloat16),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((T, N_ATTR, cap), jnp.float32),
+                jax.ShapeDtypeStruct((T, 1, dims.px), jnp.float32),
+            ],
+            interpret=interpret,
+        )(counts, packed, gt_tiles)
+        image_l1 = jnp.sum(loss[:, 0, 0])
+        depth_l1 = jnp.sum(loss[:, 0, 1])
+        return image_l1, depth_l1, grads
+
+    # Fast path: lean chunk math, B tiles per grid step.
+    B = max(1, int(getattr(cfg, "fused_tiles_per_step", 1)))
+    Tp = ((T + B - 1) // B) * B
+    if Tp != T:
+        packed = jnp.pad(packed, ((0, Tp - T), (0, 0), (0, 0)))
+        gt_tiles = jnp.pad(gt_tiles, ((0, Tp - T), (0, 0), (0, 0)))
+        counts = jnp.pad(counts, (0, Tp - T))
     grads, loss = pl.pallas_call(
         functools.partial(
-            _fused_track_kernel, dims=dims, im_w=float(im_weight),
-            depth_w=float(depth_weight), use_sur=bool(use_sur_depth),
+            _fused_track_kernel_fast, dims=dims, im_w=float(im_weight),
+            depth_w=float(depth_weight), use_sur=bool(use_sur_depth), B=B,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(T,),
+            grid=(Tp // B,),
             in_specs=[
                 pl.BlockSpec(
-                    (1, N_ATTR, cap), lambda t, *_: (t, 0, 0),
+                    (B, N_ATTR, cap), lambda t, *_: (t, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, 4, dims.px), lambda t, *_: (t, 0, 0),
+                    (B, 4, dims.px), lambda t, *_: (t, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=[
                 pl.BlockSpec(
-                    (1, N_ATTR, cap), lambda t, *_: (t, 0, 0),
+                    (B, N_ATTR, cap), lambda t, *_: (t, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, 1, dims.px), lambda t, *_: (t, 0, 0),
+                    (B, 1, dims.px), lambda t, *_: (t, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             scratch_shapes=[
-                pltpu.VMEM((cap, dims.px), jnp.float32),  # applied alpha
+                pltpu.VMEM((cap, dims.px), jnp.float32),  # alpha
                 pltpu.VMEM((cap, dims.px), jnp.float32),  # prefix T
                 pltpu.VMEM((8, dims.px), jnp.float32),  # accumulators
-                pltpu.VMEM((8, dims.px), jnp.bfloat16),  # pixel basis (exact)
+                pltpu.VMEM((8, dims.px), jnp.bfloat16),  # pixel basis
                 pltpu.VMEM((dims.K, dims.K), jnp.bfloat16),
                 pltpu.VMEM((dims.K, dims.K), jnp.bfloat16),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((T, N_ATTR, cap), jnp.float32),
-            jax.ShapeDtypeStruct((T, 1, dims.px), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, N_ATTR, cap), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, 1, dims.px), jnp.float32),
         ],
         interpret=interpret,
     )(counts, packed, gt_tiles)
     image_l1 = jnp.sum(loss[:, 0, 0])
     depth_l1 = jnp.sum(loss[:, 0, 1])
-    return image_l1, depth_l1, grads
+    return image_l1, depth_l1, grads[:T]
 
 
 def tile_gt_images(
@@ -975,9 +1244,11 @@ def _attr_cols(prep: Preprocessed) -> jnp.ndarray:
         [
             prep.mean2d[:, 0],
             prep.mean2d[:, 1],
-            prep.conic[:, 0],
-            prep.conic[:, 1],
-            prep.conic[:, 2],
+            # conic rows masked by validity: invalid conics can be garbage
+            # (det<=0) and the lean fused path has no per-element power gate
+            prep.conic[:, 0] * vf,
+            prep.conic[:, 1] * vf,
+            prep.conic[:, 2] * vf,
             prep.opacity * vf,
             prep.color[:, 0],
             prep.color[:, 1],

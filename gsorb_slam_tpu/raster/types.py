@@ -53,6 +53,10 @@ class RasterConfig:
     # Static chunk budget for the flat-chunk mapping path (ChunkBins):
     # supports up to chunk_budget * chunk live tile-instances per view.
     chunk_budget: int = dataclasses.field(default=8192, metadata=dict(static=True))
+    # Tiles processed per grid step in the fused tracking kernel (fast
+    # path): amortizes the ~1.3us fixed per-grid-step cost. The tile count
+    # is padded to a multiple of this.
+    fused_tiles_per_step: int = dataclasses.field(default=4, metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass

@@ -225,6 +225,7 @@ class SyntheticDataset(RGBDDataset):
         seed: int = 0,
         motion_scale: float = 1.0,
         scale_range: tuple = (0.03, 0.08),
+        trajectory=None,  # optional [N, 4, 4] T_cw list overriding the sweep
     ):
         import jax
         import jax.numpy as jnp
@@ -258,17 +259,24 @@ class SyntheticDataset(RGBDDataset):
                 jnp.ones(n_splats, bool), T, cam, rcfg,
             )
         )
+        if trajectory is not None:
+            n_frames = len(trajectory)
         for i in range(n_frames):
-            s = i / max(n_frames - 1, 1)
-            T_cw = np.eye(4, dtype=np.float32)
-            ang = 0.12 * motion_scale * np.sin(2 * np.pi * s)
-            ca, sa = np.cos(ang), np.sin(ang)
-            T_cw[:3, :3] = np.array([[ca, 0, -sa], [0, 1, 0], [sa, 0, ca]], np.float32)
-            T_cw[:3, 3] = [
-                0.25 * motion_scale * np.sin(2 * np.pi * s),
-                0.08 * motion_scale * np.sin(4 * np.pi * s),
-                0.15 * motion_scale * s,
-            ]
+            if trajectory is not None:
+                T_cw = np.asarray(trajectory[i], np.float32)
+            else:
+                s = i / max(n_frames - 1, 1)
+                T_cw = np.eye(4, dtype=np.float32)
+                ang = 0.12 * motion_scale * np.sin(2 * np.pi * s)
+                ca, sa = np.cos(ang), np.sin(ang)
+                T_cw[:3, :3] = np.array(
+                    [[ca, 0, -sa], [0, 1, 0], [sa, 0, ca]], np.float32
+                )
+                T_cw[:3, 3] = [
+                    0.25 * motion_scale * np.sin(2 * np.pi * s),
+                    0.08 * motion_scale * np.sin(4 * np.pi * s),
+                    0.15 * motion_scale * s,
+                ]
             out = rfn(jnp.asarray(T_cw))
             color = np.clip(np.asarray(out.color), 0, 1)
             depth = np.asarray(out.median_depth)

@@ -60,6 +60,10 @@ class KeyFrameFeatures:
     feats: ORBFeatures
     point_ids: np.ndarray  # [N] int32 map-point id per keypoint (-1 none)
     T_cw: np.ndarray
+    # Spanning-tree parent (KeyFrame::mpParent, include/KeyFrame.h:236):
+    # the most-covisible existing keyframe at insertion; reparented to the
+    # grandparent when the parent is culled (SetBadFlag semantics).
+    parent_id: int = -1
 
 
 @dataclasses.dataclass
@@ -427,6 +431,13 @@ class GeometricFrontend:
         self.keyframes.append(kf)
         self.kf_counter += 1
 
+        # Spanning-tree parent: the most-covisible existing keyframe
+        # (KeyFrame::UpdateConnections first-connection path), falling back
+        # to the previous keyframe on a fresh map.
+        if len(self.keyframes) >= 2:
+            covis0 = self.covisibility(kf, min_shared=5)
+            kf.parent_id = covis0[0][0] if covis0 else self.keyframes[-2].kf_id
+
         # LocalMapping::Run sequence per inserted keyframe
         # (src/LocalMapping.cc:48-648): MapPointCulling ->
         # CreateNewMapPoints (epipolar triangulation vs covisible
@@ -706,11 +717,22 @@ class GeometricFrontend:
             if redundant / len(pts) >= min_redundant:
                 culled.append(kf.kf_id)
         culled_set = set(culled)
+        parent_of = {kf.kf_id: kf.parent_id for kf in self.keyframes}
         for kf in self.keyframes:
             if kf.kf_id in culled_set:
                 for p in kf.point_ids[kf.point_ids >= 0].tolist():
                     self.pt_obs_kf.get(int(p), set()).discard(kf.kf_id)
         self.keyframes = [kf for kf in self.keyframes if kf.kf_id not in culled_set]
+        # Reparent children of culled keyframes to the nearest surviving
+        # ancestor (KeyFrame::SetBadFlag spanning-tree repair).
+        alive = {kf.kf_id for kf in self.keyframes}
+        for kf in self.keyframes:
+            p = kf.parent_id
+            seen_chain = set()
+            while p >= 0 and p not in alive and p not in seen_chain:
+                seen_chain.add(p)
+                p = parent_of.get(p, -1)
+            kf.parent_id = p if (p in alive and p != kf.kf_id) else -1
         return culled
 
     def relocalize(self, feats: ORBFeatures, n_candidates: int = 3, kfdb=None):

@@ -148,24 +148,31 @@ class LoopCloser:
         self.consistency = new_consistency
         return detected
 
-    def verify(self, kf_query, kf_match, frontend) -> Optional[np.ndarray]:
+    def verify(
+        self, kf_query, kf_match, frontend, cam=None
+    ) -> Optional[np.ndarray]:
         """Geometric check: match descriptors, align the matched map points
-        with fixed-scale RANSAC Horn (``Sim3Solver``); returns the corrected
-        T_cw for the query keyframe or None."""
+        with fixed-scale RANSAC Horn (``Sim3Solver``), then refine on
+        bidirectional image-plane reprojection edges
+        (``Optimizer::OptimizeSim3`` ``src/Optimizer.cc:1047``); returns the
+        world-frame correction transform or None."""
         m = match_descriptors(kf_query.feats, kf_match.feats, max_dist=64)
         mv = np.asarray(m.valid)
         idx2 = np.asarray(m.idx2)
         p1_ids = kf_query.point_ids
         p2_ids = kf_match.point_ids
         pairs = []
+        kp_pairs = []
         for i in np.nonzero(mv)[0]:
             p1 = p1_ids[i]
             p2 = p2_ids[idx2[i]]
             if p1 >= 0 and p2 >= 0 and frontend.pt_valid[p1] and frontend.pt_valid[p2]:
                 pairs.append((p1, p2))
+                kp_pairs.append((i, idx2[i]))
         if len(pairs) < self.min_inliers:
             return None
         pairs = np.array(pairs)
+        kp_pairs = np.array(kp_pairs)
         x1 = frontend.pt_pos[pairs[:, 0]]
         x2 = frontend.pt_pos[pairs[:, 1]]
         # Pad to a power-of-two bucket: stable jit shapes across calls.
@@ -212,6 +219,63 @@ class LoopCloser:
         T_corr = np.eye(4, dtype=np.float32)
         T_corr[:3, :3] = R
         T_corr[:3, 3] = t
+
+        if cam is not None:
+            # OptimizeSim3 analog: refine on image-plane reprojection edges
+            # in BOTH keyframes (src/Optimizer.cc:1047+). Camera-level
+            # transform T12 = T1_cw . T_corr^-1 . T2_cw^-1.
+            from gsorb_slam_tpu.frontend.sim3 import optimize_sim3_reprojection
+
+            T1 = kf_query.T_cw
+            T2 = kf_match.T_cw
+            T12 = T1 @ np.linalg.inv(T_corr) @ np.linalg.inv(T2)
+            xc1 = x1[:n] @ T1[:3, :3].T + T1[:3, 3]  # query points, cam-1
+            xc2 = x2[:n] @ T2[:3, :3].T + T2[:3, 3]  # match points, cam-2
+            uv1 = np.asarray(kf_query.feats.uv)[kp_pairs[:, 0]]
+            uv2 = np.asarray(kf_match.feats.uv)[kp_pairs[:, 1]]
+            oc1 = np.asarray(kf_query.feats.octave)[kp_pairs[:, 0]]
+            oc2 = np.asarray(kf_match.feats.octave)[kp_pairs[:, 1]]
+            s2 = frontend.sigma2 if hasattr(frontend, "sigma2") else None
+            is1 = (1.0 / s2[oc1]).astype(np.float32) if s2 is not None else (
+                np.ones(n, np.float32)
+            )
+            is2 = (1.0 / s2[oc2]).astype(np.float32) if s2 is not None else (
+                np.ones(n, np.float32)
+            )
+            capn = 64
+            while capn < n:
+                capn *= 2
+            padn = capn - n
+
+            def padr(a, fill=0.0):
+                if padn == 0:
+                    return a
+                return np.concatenate(
+                    [a, np.full((padn,) + a.shape[1:], fill, a.dtype)]
+                )
+
+            pv = np.zeros(capn, bool)
+            pv[:n] = inl  # start from Horn inliers
+            T12_r, inl_r, n_r = optimize_sim3_reprojection(
+                jnp.asarray(T12.astype(np.float32)),
+                jnp.asarray(padr(xc2.astype(np.float32))),
+                jnp.asarray(padr(uv1.astype(np.float32))),
+                jnp.asarray(padr(xc1.astype(np.float32))),
+                jnp.asarray(padr(uv2.astype(np.float32))),
+                jnp.asarray(padr(is1, 1.0)),
+                jnp.asarray(padr(is2, 1.0)),
+                jnp.asarray(pv),
+                cam,
+            )
+            if int(n_r) >= self.min_inliers and bool(
+                np.isfinite(np.asarray(T12_r)).all()
+            ):
+                # Invert T12 = T1 . T_corr^-1 . T2^-1 for the world-level
+                # correction: T_corr = T2^-1 . T12^-1 . T1.
+                T12_np = np.asarray(T12_r)
+                T_corr = (
+                    np.linalg.inv(T2) @ np.linalg.inv(T12_np) @ T1
+                ).astype(np.float32)
         return T_corr
 
     def correct(
@@ -222,16 +286,31 @@ class LoopCloser:
         T_corr: np.ndarray,
         covis_edges: list[tuple[int, int, float]],
     ) -> dict[int, np.ndarray]:
-        """Pose-graph correction: spanning/covisibility edges keep relative
-        poses, the loop edge pins query ~ match through T_corr. Returns
-        {kf_id: corrected T_cw}."""
+        """Pose-graph correction — the ``OptimizeEssentialGraph`` analog
+        (``src/Optimizer.cc:782-1045``): spanning-TREE edges + covisibility
+        edges keep relative poses, the loop edge pins query ~ match through
+        T_corr. Returns {kf_id: corrected T_cw}."""
         id_index = {kf.kf_id: i for i, kf in enumerate(keyframes)}
         K = len(keyframes)
         poses = np.stack([kf.T_cw for kf in keyframes]).astype(np.float32)
 
         edges_i, edges_j, rels, ws = [], [], [], []
-        # Sequential odometry edges.
+        # Spanning-tree edges (KeyFrame::GetParent chain) — the essential
+        # graph's backbone. Sequential odometry edges fill any gap where a
+        # keyframe has no surviving parent.
+        tree_pairs = set()
+        for kf in keyframes:
+            par = getattr(kf, "parent_id", -1)
+            if par >= 0 and par in id_index:
+                a, b = id_index[par], id_index[kf.kf_id]
+                edges_i.append(a)
+                edges_j.append(b)
+                rels.append(poses[a] @ np.linalg.inv(poses[b]))
+                ws.append(1.0)
+                tree_pairs.add((min(a, b), max(a, b)))
         for a in range(K - 1):
+            if (a, a + 1) in tree_pairs:
+                continue
             edges_i.append(a)
             edges_j.append(a + 1)
             rels.append(poses[a] @ np.linalg.inv(poses[a + 1]))

@@ -109,6 +109,13 @@ class System:
                 ),
                 bf=cc.bf,
             )
+            if vocabulary is None and self.cfg.debug.use_loop:
+                # System::System loads the packaged ORB vocabulary at
+                # startup (src/System.cc:86-96); ours ships a synthetic-
+                # domain artifact (assets/ORBvoc_synth.txt).
+                from gsorb_slam_tpu.frontend.vocab import default_vocabulary
+
+                vocabulary = default_vocabulary()
             if vocabulary is not None and self.cfg.debug.use_loop:
                 from gsorb_slam_tpu.slam.loop import LoopCloser
 
@@ -400,8 +407,13 @@ class System:
         cand = lc.detect(fe_kf, recent)
         if cand is None:
             return
-        match_kf = self.fe.keyframes[cand]
-        T_corr = lc.verify(fe_kf, match_kf, self.fe)
+        # kf_id lookup, NOT a list index: keyframe culling leaves holes.
+        match_kf = next(
+            (kf for kf in self.fe.keyframes if kf.kf_id == cand), None
+        )
+        if match_kf is None:
+            return
+        T_corr = lc.verify(fe_kf, match_kf, self.fe, cam=self.cam)
         if T_corr is None:
             return
         covis = [

@@ -130,9 +130,14 @@ def test_pallas_median_depth_no_gradient(rng):
     np.testing.assert_allclose(np.asarray(g), 0.0)
 
 
-def test_fused_tracking_matches_xla_autodiff(rng):
+@pytest.mark.parametrize("exact", [True, False])
+def test_fused_tracking_matches_xla_autodiff(rng, exact):
     """The fused tracking kernel (fwd + masked-L1 loss + cotangents + bwd in
-    one launch) must reproduce XLA autodiff through the portable blend."""
+    one launch) must reproduce XLA autodiff through the portable blend.
+
+    exact=False covers the lean fast path (multi-tile grid blocks, crossing
+    median, no per-element STOP_T gating) at relaxed tolerances: past-stop
+    contributions are bounded by the 1e-4 exit transmittance."""
     from gsorb_slam_tpu.ops.losses import l1_tracking
     from gsorb_slam_tpu.raster.instances import blend_packed_xla
     from gsorb_slam_tpu.raster.pallas_raster import (
@@ -142,7 +147,7 @@ def test_fused_tracking_matches_xla_autodiff(rng):
     )
 
     cfg = RasterConfig(tile=16, tile_capacity=256, max_dup=16, chunk=64,
-                       exact_stop=True)
+                       exact_stop=exact, fused_tiles_per_step=4)
     cam = tiny_camera()
     scene = random_cloud_scene(rng, n=300, capacity=384)
     prep = _prep(scene, cam)
@@ -177,16 +182,19 @@ def test_fused_tracking_matches_xla_autodiff(rng):
         )
         loss_fused = img_l1 + dep_l1
         np.testing.assert_allclose(
-            float(loss_fused), float(loss_ref), rtol=2e-5,
+            float(loss_fused), float(loss_ref),
+            rtol=2e-5 if exact else 2e-3,
             err_msg=f"use_sur={use_sur}",
         )
         np.testing.assert_allclose(
             np.asarray(grads[:, :10, :]), np.asarray(g_ref[:, :10, :]),
-            atol=2e-4, rtol=2e-3, err_msg=f"use_sur={use_sur}",
+            atol=2e-4 if exact else 8e-4, rtol=2e-3,
+            err_msg=f"use_sur={use_sur}",
         )
 
 
-def test_fused_tracking_pose_gradient_e2e(rng):
+@pytest.mark.parametrize("exact", [True, False])
+def test_fused_tracking_pose_gradient_e2e(rng, exact):
     """Pose gradient through preprocess_instances + fused kernel equals the
     full-XLA autodiff pose gradient (the production tracking iteration)."""
     from gsorb_slam_tpu.core.transforms import matrix_to_pose, pose_to_matrix
@@ -202,7 +210,7 @@ def test_fused_tracking_pose_gradient_e2e(rng):
     )
 
     cfg = RasterConfig(tile=16, tile_capacity=256, max_dup=16, chunk=64,
-                       exact_stop=True)
+                       exact_stop=exact, fused_tiles_per_step=4)
     cam = tiny_camera()
     scene = random_cloud_scene(rng, n=250, capacity=256)
     prep = _prep(scene, cam)
@@ -247,7 +255,8 @@ def test_fused_tracking_pose_gradient_e2e(rng):
         return img + dep, gq, gt_
 
     l_f, gq_f, gt_f = fused(quat0, trans0)
-    np.testing.assert_allclose(float(l_f), float(l_ref), rtol=2e-5)
+    np.testing.assert_allclose(float(l_f), float(l_ref),
+                               rtol=2e-5 if exact else 2e-3)
     np.testing.assert_allclose(np.asarray(gq_f), np.asarray(gq_ref), rtol=5e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(gt_f), np.asarray(gt_ref), rtol=5e-3, atol=1e-3)
 
