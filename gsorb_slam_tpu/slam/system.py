@@ -763,6 +763,9 @@ class System:
         if not hasattr(self, "_mono_ref"):
             self._mono_ref = None
             self._mono_initialized = False
+            self._mono_state = "NOT_INITIALIZED"
+            self._mono_lost = 0
+            self._mono_last_kf_frame = -(10**9)
 
         if not self._mono_initialized:
             if self._mono_ref is None:
@@ -812,17 +815,80 @@ class System:
                 jnp2.ones(take, bool), self.cam.fx, self.cam.fy,
             )
             self._mono_initialized = True
+            self._mono_state = "OK"
             self.last_T_cw = res.T_cw2.astype(np.float32)
+            # Two bootstrap keyframes anchor the spanning tree and give
+            # triangulation/reloc a reference (CreateInitialMapMonocular,
+            # src/Tracking.cc:891-1009).
+            zero_depth = np.zeros_like(gray)
+            self.fe.create_keyframe(
+                ref_feats, zero_depth, np.eye(4, dtype=np.float32),
+                self.frame_id - 1, run_local_mapping=False,
+            )
+            kf2 = self.fe.create_keyframe(
+                feats, zero_depth, self.last_T_cw, self.frame_id,
+                run_local_mapping=False,
+            )
+            # attach triangulated points to the second keyframe's keypoints
+            kp2 = np.asarray(m.idx2)[mv][good][:take]
+            kf2.point_ids[kp2] = np.arange(p0, p0 + take)
+            kf1 = self.fe.keyframes[-2]
+            kp1 = np.nonzero(mv)[0][good][:take]
+            kf1.point_ids[kp1] = np.arange(p0, p0 + take)
+            for p in range(p0, p0 + take):
+                self.fe._observe_kf(p, kf1.kf_id)
+                self.fe._observe_kf(p, kf2.kf_id)
+            if self.loop_closer is not None:
+                self.loop_closer.add_keyframe(kf1)
+                self.loop_closer.add_keyframe(kf2)
+            self._mono_last_kf_frame = self.frame_id
             self.trajectory.append(
                 FrameRecord(self.frame_id, timestamp, self.last_T_cw, True, 0.0, 0)
             )
             self.frame_id += 1
             return self.last_T_cw
 
-        # Initialized: ORB projection tracking + robust pose optimization.
+        # Initialized: the classic Track() state machine (src/Tracking.cc:
+        # 490-738): OK -> projection tracking; LOST -> relocalization
+        # attempts; auto-Reset when lost with a young map (:699-707).
         T_pred = (self.velocity @ self.last_T_cw).astype(np.float32)
-        fe_res = self.fe.process_frame(gray, T_pred)
-        T_cw = fe_res.T_orb if fe_res.T_orb is not None else T_pred
+        fe_res = self.fe.process_frame(gray, T_pred, feats=feats)
+        ok = fe_res.T_orb is not None and fe_res.n_inliers >= 10
+        if ok:
+            self._mono_state = "OK"
+            self._mono_lost = 0
+            T_cw = fe_res.T_orb
+            # Keyframe policy: match decay or frame gap (NeedNewKeyFrame
+            # mono gates, simplified) -> insert KF + triangulate new points.
+            gap = self.frame_id - self._mono_last_kf_frame
+            if gap >= 5 or fe_res.n_inliers < 40:
+                kf = self.fe.create_keyframe(
+                    feats, np.zeros_like(gray), T_cw, self.frame_id,
+                    run_local_mapping=True,
+                )
+                self._mono_last_kf_frame = self.frame_id
+                if self.loop_closer is not None:
+                    self.loop_closer.add_keyframe(kf)
+        else:
+            self._mono_state = "LOST"
+            self._mono_lost += 1
+            T_reloc = self.fe.relocalize(
+                feats,
+                kfdb=self.loop_closer.db if self.loop_closer else None,
+            )
+            if T_reloc is not None:
+                T_cw = np.asarray(T_reloc, np.float32)
+                self._mono_state = "OK"
+                self._mono_lost = 0
+                self.velocity = np.eye(4, dtype=np.float32)
+            else:
+                # Auto-Reset: lost soon after init with a tiny map
+                # (src/Tracking.cc:699-707).
+                if len(self.fe.keyframes) <= 5 and self._mono_lost >= 3:
+                    self._mono_reset()
+                    self.frame_id += 1
+                    return None
+                T_cw = T_pred  # coast on the motion model
         self.velocity = (T_cw @ np.linalg.inv(self.last_T_cw)).astype(np.float32)
         self.last_T_cw = T_cw
         self.trajectory.append(
@@ -830,6 +896,30 @@ class System:
         )
         self.frame_id += 1
         return T_cw
+
+    def _mono_reset(self) -> None:
+        """System::Reset for the monocular path: drop the map and re-enter
+        initialization (``src/Tracking.cc:699-707``, ``System::Reset``)."""
+        from gsorb_slam_tpu.core.camera import Distortion
+        from gsorb_slam_tpu.slam.geometric import GeometricFrontend
+
+        cc = self.cfg.camera
+        self.fe = GeometricFrontend(
+            self.cam, self.cfg.orb,
+            th_depth=cc.bf / cc.fx * cc.th_depth,
+            dist=Distortion(k1=cc.k1, k2=cc.k2, p1=cc.p1, p2=cc.p2, k3=cc.k3),
+            bf=cc.bf,
+        )
+        self.gm = empty_map(self.cfg.mapping.max_gaussians)
+        if self.loop_closer is not None:
+            from gsorb_slam_tpu.slam.loop import LoopCloser
+
+            self.loop_closer = LoopCloser(self.loop_closer.db.vocab)
+        self._mono_ref = None
+        self._mono_initialized = False
+        self._mono_state = "NOT_INITIALIZED"
+        self._mono_lost = 0
+        self.velocity = np.eye(4, dtype=np.float32)
 
     # ------------------------------------------------------------ checkpoint
 

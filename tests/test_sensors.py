@@ -76,3 +76,73 @@ def test_track_stereo_produces_depth_and_tracks():
         T = sys_.track_stereo(fr.rgb, right, float(i))
         assert T.shape == (4, 4)
     assert int(sys_.gm.n_active()) > 100
+
+
+def test_track_monocular_lost_then_relocalizes():
+    """Mid-sequence blackout breaks tracking (LOST state); on return the
+    camera JUMPS back to an earlier viewpoint, so the motion model is wrong
+    and only relocalization can recover (``Tracking::Relocalization`` via
+    the classic ``Track()`` state machine, ``src/Tracking.cc:699-738,1718``)."""
+    cfg = _cfg(w=160, h=120, f=130.0)
+    cam = Camera(fx=130.0, fy=130.0, cx=80.0, cy=60.0, width=160, height=120)
+    ds = SyntheticDataset(
+        cam, n_frames=10, n_splats=6000, seed=7, motion_scale=0.35,
+        scale_range=(0.02, 0.05),
+    )
+    sys_ = System(
+        cfg, max_keyframes=16, raster=RCFG, frontend="orb",
+        mono_min_matches=40, mono_min_inliers=30,
+    )
+    results = []
+    for i in range(len(ds)):
+        results.append(sys_.track_monocular(ds[i].rgb, float(i)))
+    assert any(r is not None for r in results), "bootstrap failed"
+    assert len(sys_.fe.keyframes) >= 2
+    assert sys_._mono_state == "OK"
+
+    # blackout: featureless frames -> LOST
+    blank = np.zeros_like(ds[0].rgb)
+    for j in range(2):
+        sys_.track_monocular(blank, float(len(ds) + j))
+    assert sys_._mono_state == "LOST"
+
+    # jump back to an early viewpoint: motion model is useless now
+    recovered = False
+    for k in range(2, 5):
+        T = sys_.track_monocular(ds[k].rgb, float(len(ds) + 2 + k))
+        if sys_._mono_state == "OK" and T is not None:
+            # pose must match the revisited viewpoint, not the coasted one
+            err = np.linalg.norm(T[:3, 3] - ds[k].gt_T_cw[:3, 3])
+            scale = max(np.linalg.norm(ds[k].gt_T_cw[:3, 3]), 0.05)
+            assert err < max(0.5 * scale, 0.08), (err, scale)
+            recovered = True
+            break
+    assert recovered, "never relocalized after blackout"
+
+
+def test_track_monocular_early_lost_auto_resets():
+    """Losing tracking with a young map (<=5 KFs) must auto-Reset and
+    re-enter initialization (``src/Tracking.cc:699-707``)."""
+    cfg = _cfg(w=160, h=120, f=130.0)
+    cam = Camera(fx=130.0, fy=130.0, cx=80.0, cy=60.0, width=160, height=120)
+    ds = SyntheticDataset(
+        cam, n_frames=4, n_splats=6000, seed=7, motion_scale=0.35,
+        scale_range=(0.02, 0.05),
+    )
+    sys_ = System(
+        cfg, max_keyframes=16, raster=RCFG, frontend="orb",
+        mono_min_matches=40, mono_min_inliers=30,
+    )
+    for i in range(len(ds)):
+        sys_.track_monocular(ds[i].rgb, float(i))
+    if not sys_._mono_initialized:
+        pytest.skip("bootstrap did not converge on this short sequence")
+    blank = np.zeros_like(ds[0].rgb)
+    for j in range(4):
+        sys_.track_monocular(blank, float(len(ds) + j))
+    assert not sys_._mono_initialized, "auto-Reset did not fire"
+    assert sys_._mono_state == "NOT_INITIALIZED"
+    # and the system can bootstrap again
+    for i in range(len(ds)):
+        sys_.track_monocular(ds[i].rgb, float(10 + i))
+    assert sys_._mono_initialized or sys_._mono_ref is not None
