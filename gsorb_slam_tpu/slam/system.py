@@ -164,6 +164,7 @@ class System:
 
         self.timings = {"track": 0.0, "map": 0.0, "n_track": 0, "n_map": 0}
         self.loop_events: list[tuple[int, int, int]] = []
+        self.densify_added: list[int] = []  # per-frame splat add counts
 
         # Multi-device window mapping (SURVEY.md §2.3 obligation): map
         # replicated, window views sharded, gradient psum over ICI. Batched-
@@ -224,30 +225,62 @@ class System:
     def _build_jits(self):
         cam, rcfg, mcfg, tcfg = self.cam, self.rcfg, self.cfg.mapping, self.cfg.tracking
 
-        @jax.jit
-        def _bin(gm: GaussianMap, T_cw):
+        from gsorb_slam_tpu.splat.gaussians import prefix_view
+
+        def _prefix_bucket(gm) -> int:
+            """Power-of-two bucket over the live prefix: render-path work
+            (sort, pack) scales with this, not the safety capacity."""
+            n = int(gm.count)
+            b = 1 << 14
+            while b < n:
+                b *= 2
+            return min(b, gm.capacity)
+
+        self._prefix_bucket = _prefix_bucket
+
+        def _bin(gm: GaussianMap, T_cw, prefix: int):
+            gm = prefix_view(gm, prefix)
             prep = preprocess(
                 gm.means, gm.rgb, gm.quats, gm.logit_opacities, gm.log_scales,
                 gm.active, T_cw, cam, mcfg.scale_modifier,
             )
             return bin_gaussians(prep, cam, rcfg)
 
-        @jax.jit
-        def _render(gm: GaussianMap, T_cw, bins: TileBins):
+        _bin_inner = jax.jit(_bin, static_argnames=("prefix",))
+
+        def _bin_auto(gm, T_cw):
+            return _bin_inner(gm, T_cw, _prefix_bucket(gm))
+
+        def _render(gm: GaussianMap, T_cw, bins: TileBins, prefix: int):
+            gm = prefix_view(gm, prefix)
             prep = preprocess(
                 gm.means, gm.rgb, gm.quats, gm.logit_opacities, gm.log_scales,
                 gm.active, T_cw, cam, mcfg.scale_modifier,
             )
             return render_binned(prep, bins, cam, rcfg, bg=mcfg.background_color)
 
-        def _track(gm, T_init, color, depth, matches, bins, n_iters):
+        _render_inner = jax.jit(_render, static_argnames=("prefix",))
+
+        def _render_auto(gm, T_cw, bins):
+            return _render_inner(gm, T_cw, bins, _prefix_bucket(gm))
+
+        def _track(gm, T_init, color, depth, matches, bins, n_iters, prefix):
+            gm = prefix_view(gm, prefix)
             return T.track_frame(
                 gm, T_init, color, depth, matches, cam, tcfg, rcfg,
                 num_iters=n_iters, bins=bins,
                 scale_modifier=mcfg.scale_modifier,
             )
 
-        self._track_jit = jax.jit(_track, static_argnames=("n_iters",))
+        _track_inner = jax.jit(_track, static_argnames=("n_iters", "prefix"))
+
+        def _track_auto(gm, T_init, color, depth, matches, bins, n_iters):
+            return _track_inner(
+                gm, T_init, color, depth, matches, bins, n_iters,
+                _prefix_bucket(gm),
+            )
+
+        self._track_jit = _track_auto
 
         @jax.jit
         def _densify(gm, out, color, depth, T_cw):
@@ -255,16 +288,29 @@ class System:
 
         self._densify_jit = _densify
 
-        def _map(gm, frames, key, n_iters, init_mode, chunk_budget):
-            return M.map_window(
-                gm, frames, key, cam, mcfg, rcfg,
+        from gsorb_slam_tpu.splat.gaussians import prefix_writeback
+
+        def _map(gm, frames, key, n_iters, init_mode, chunk_budget, prefix):
+            gm_p = prefix_view(gm, prefix)
+            gm_p, losses = M.map_window(
+                gm_p, frames, key, cam, mcfg, rcfg,
                 num_iters=n_iters, init_mode=init_mode,
                 chunk_budget=chunk_budget,
             )
+            return prefix_writeback(gm, gm_p), losses
 
-        self._map_jit = jax.jit(
-            _map, static_argnames=("n_iters", "init_mode", "chunk_budget")
+        _map_inner = jax.jit(
+            _map,
+            static_argnames=("n_iters", "init_mode", "chunk_budget", "prefix"),
         )
+
+        def _map_auto(gm, frames, key, n_iters, init_mode, chunk_budget):
+            return _map_inner(
+                gm, frames, key, n_iters, init_mode, chunk_budget,
+                _prefix_bucket(gm),
+            )
+
+        self._map_jit = _map_auto
 
         def _window_chunk_budget(frames) -> int:
             """Power-of-two bucket just above the window's max live chunk
@@ -300,8 +346,8 @@ class System:
                 bins_indices=bi, bins_counts=bc, n_frames=n_frames,
             )
 
-        self._bin_jit = _bin
-        self._render_jit = _render
+        self._bin_jit = _bin_auto
+        self._render_jit = _render_auto
         self._gather_window_jit = _gather_window
 
     # ------------------------------------------------------------- keyframes
@@ -626,6 +672,9 @@ class System:
         self.gm, _n_added = self._densify_jit(
             self.gm, out, color, depth, jnp.asarray(T_cw)
         )
+        # Per-frame add-count instrumentation (r2 verdict: find densify
+        # divergence empirically, not by eye).
+        self.densify_added.append(int(_n_added))
 
         # Window selection + mapping.
         sel = W.select_window(
@@ -1142,4 +1191,11 @@ class System:
             "total_mapping_s": t["map"],
             "n_keyframes": len(self.keyframes),
             "n_frames": self.frame_id,
+            "densify_added_mean": (
+                float(np.mean(self.densify_added)) if self.densify_added else 0.0
+            ),
+            "densify_added_max": (
+                int(np.max(self.densify_added)) if self.densify_added else 0
+            ),
+            "capacity_frac": float(int(self.gm.count) / self.gm.capacity),
         }

@@ -182,6 +182,54 @@ def add_points(
     )
 
 
+def prefix_view(gm: GaussianMap, n: int) -> GaussianMap:
+    """Static-prefix slice of every per-splat leaf.
+
+    Splats are appended at the write cursor and ``compact`` repacks live
+    rows to the front, so rows [count, C) are permanently dead. Render-path
+    ops (preprocess, binning, packing) scale with the PHYSICAL capacity —
+    slicing to a power-of-two bucket just above ``count`` makes a large
+    safety capacity free until actually used. Row indices into the view
+    are identical to global indices (it is a prefix)."""
+    n = min(int(n), gm.means.shape[0])
+    sl = lambda a: a[:n]
+    return dataclasses.replace(
+        gm,
+        means=sl(gm.means),
+        rgb=sl(gm.rgb),
+        quats=sl(gm.quats),
+        logit_opacities=sl(gm.logit_opacities),
+        log_scales=sl(gm.log_scales),
+        active=sl(gm.active),
+        adam_m={k: sl(v) for k, v in gm.adam_m.items()},
+        adam_v={k: sl(v) for k, v in gm.adam_v.items()},
+    )
+
+
+def prefix_writeback(gm_full: GaussianMap, gm_part: GaussianMap) -> GaussianMap:
+    """Write an updated prefix view back into the full-capacity map."""
+    wb = lambda full, part: full.at[: part.shape[0]].set(part)
+    return dataclasses.replace(
+        gm_full,
+        means=wb(gm_full.means, gm_part.means),
+        rgb=wb(gm_full.rgb, gm_part.rgb),
+        quats=wb(gm_full.quats, gm_part.quats),
+        logit_opacities=wb(gm_full.logit_opacities, gm_part.logit_opacities),
+        log_scales=wb(gm_full.log_scales, gm_part.log_scales),
+        active=wb(gm_full.active, gm_part.active),
+        adam_m={
+            k: wb(gm_full.adam_m[k], gm_part.adam_m[k]) for k in gm_full.adam_m
+        },
+        adam_v={
+            k: wb(gm_full.adam_v[k], gm_part.adam_v[k]) for k in gm_full.adam_v
+        },
+        count=gm_part.count,
+        adam_t=gm_part.adam_t,
+        scene_radius=gm_part.scene_radius,
+        max_z=gm_part.max_z,
+    )
+
+
 def prune_low_opacity(gm: GaussianMap, threshold: float = 0.005) -> GaussianMap:
     """Deactivate splats with sigmoid(opacity) < threshold
     (``RemoveLowOpcitiesGaussian`` ``src/Gaussian.cc:180-185``). Rows stay

@@ -106,15 +106,17 @@ def test_track_monocular_lost_then_relocalizes():
         sys_.track_monocular(blank, float(len(ds) + j))
     assert sys_._mono_state == "LOST"
 
-    # jump back to an early viewpoint: motion model is useless now
+    # jump back to an early viewpoint: motion model is useless now.
+    # Monocular scale is arbitrary, so compare against the system's OWN
+    # first-pass estimate of the same image, not metric GT.
     recovered = False
     for k in range(2, 5):
         T = sys_.track_monocular(ds[k].rgb, float(len(ds) + 2 + k))
-        if sys_._mono_state == "OK" and T is not None:
-            # pose must match the revisited viewpoint, not the coasted one
-            err = np.linalg.norm(T[:3, 3] - ds[k].gt_T_cw[:3, 3])
-            scale = max(np.linalg.norm(ds[k].gt_T_cw[:3, 3]), 0.05)
-            assert err < max(0.5 * scale, 0.08), (err, scale)
+        if sys_._mono_state == "OK" and T is not None and results[k] is not None:
+            ref = results[k]
+            err = np.linalg.norm(T[:3, 3] - ref[:3, 3])
+            scale = max(np.linalg.norm(ref[:3, 3]), 0.2)
+            assert err < 0.5 * scale, (err, scale)
             recovered = True
             break
     assert recovered, "never relocalized after blackout"
