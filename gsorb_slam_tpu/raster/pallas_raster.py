@@ -180,6 +180,40 @@ def _mm_t(a, b):
     )
 
 
+def _chunk_fast(chunk, tri_l, pbas, T_in, ox, oy, dims: _Dims):
+    """Lean non-exact per-chunk math on the [K, px] slab (see the fast
+    fused kernel's docstring for the deviation argument): no per-element
+    power<=0 / done / STOP_T gates, T_out by row extraction. Returns
+    (alpha, apply-free weights w, T_pref, one_minus, T_out)."""
+    row = lambda r: chunk[r : r + 1, :]
+    mu = row(_MU) - ox
+    mv = row(_MV) - oy
+    ca, cb, cc = row(_CA), row(_CB), row(_CC)
+    op = row(_OP)
+    K = chunk.shape[1]
+    ln_op = jnp.log(jnp.maximum(op, 1e-12))
+    g0 = -0.5 * (ca * mu * mu + cc * mv * mv) - cb * mu * mv + ln_op
+    g1 = ca * mu + cb * mv
+    g2 = cc * mv + cb * mu
+    grows = jnp.concatenate(
+        [g0, g1, g2, -0.5 * ca, -cb, -0.5 * cc,
+         jnp.zeros((2, K), jnp.float32)], 0
+    )
+    ln_alpha = _dg00_split(grows, pbas)
+    raw = jnp.exp(ln_alpha)
+    alpha = jnp.where(raw >= MIN_ALPHA, jnp.minimum(raw, 0.99), 0.0)
+    s = jnp.log1p(-alpha)
+    if dims.bf16:
+        cum_excl = _mm(tri_l, s.astype(jnp.bfloat16))
+    else:
+        cum_excl = _mm_split2_rev(tri_l, s)
+    T_pref = T_in * jnp.exp(cum_excl)
+    w = alpha * T_pref
+    one_minus = 1.0 - alpha
+    T_out = T_pref[K - 1 : K, :] * one_minus[K - 1 : K, :]
+    return alpha, w, T_pref, one_minus, T_out
+
+
 def _chunk_common(chunk, tri_l, pbas, T_in, done, ox, oy, dims: _Dims):
     """Shared fwd/bwd per-chunk math on the [K, px] slab.
 
@@ -907,31 +941,10 @@ def _fused_track_kernel_fast(
                 c = sc * U + j
                 chunk = packed_ref[b, :, pl.ds(c * K, K)]
                 row = lambda r: chunk[r : r + 1, :]
-                mu = row(_MU) - ox
-                mv = row(_MV) - oy
-                ca, cb, cc = row(_CA), row(_CB), row(_CC)
-                op, z = row(_OP), row(_Z)
-                ln_op = jnp.log(jnp.maximum(op, 1e-12))
-                g0 = -0.5 * (ca * mu * mu + cc * mv * mv) - cb * mu * mv + ln_op
-                g1 = ca * mu + cb * mv
-                g2 = cc * mv + cb * mu
-                grows = jnp.concatenate(
-                    [g0, g1, g2, -0.5 * ca, -cb, -0.5 * cc,
-                     jnp.zeros((2, K), jnp.float32)], 0
-                )  # [8, K]
-                ln_alpha = _dg00_split(grows, pbas_ref[...])  # [K, px]
-                raw = jnp.exp(ln_alpha)
-                alpha = jnp.where(
-                    raw >= MIN_ALPHA, jnp.minimum(raw, 0.99), 0.0
+                z = row(_Z)
+                alpha, w, T_pref, one_minus, T_out = _chunk_fast(
+                    chunk, tri_ref[...], pbas_ref[...], T, ox, oy, dims
                 )
-                s = jnp.log1p(-alpha)
-                if dims.bf16:
-                    cum_excl = _mm(tri_ref[...], s.astype(jnp.bfloat16))
-                else:
-                    cum_excl = _mm_split2_rev(tri_ref[...], s)
-                T_pref = T * jnp.exp(cum_excl)
-                w = alpha * T_pref
-                one_minus = 1.0 - alpha
                 alpha_scr[pl.ds(c * K, K), :] = alpha
                 tpref_scr[pl.ds(c * K, K), :] = T_pref
                 ones = jnp.ones((1, K), jnp.float32)
@@ -945,7 +958,7 @@ def _fused_track_kernel_fast(
                 )
                 z_sel = _mm(z, cross)  # [1, px]
                 acc = jnp.concatenate([acc[0:5, :] + accum, acc[5:6, :] + z_sel], 0)
-                T = T_pref[K - 1 : K, :] * one_minus[K - 1 : K, :]
+                T = T_out
             acc_ref[0:6, :] = acc
             acc_ref[6:7, :] = T
             acc_ref[7:8, :] = (T < STOP_T).astype(jnp.float32)
@@ -1300,10 +1313,18 @@ def _flat_fwd_kernel(
     @pl.when(jnp.sum(acc_ref[7, :]) < px - 0.5)
     def _():
         chunk = packed_ref[0]  # [N_ATTR, K]
-        _b, alpha, _unc, apply, T_pref, w, T_out, done_out = _chunk_common(
-            chunk, tri_ref[...], pbas_ref[...], T, done, ox, oy, dims
-        )
         row = lambda r: chunk[r : r + 1, :]
+        if dims.exact:
+            _b, alpha, _unc, apply, T_pref, w, T_out, done_out = _chunk_common(
+                chunk, tri_ref[...], pbas_ref[...], T, done, ox, oy, dims
+            )
+            is_med = apply & (T_pref > 0.5)
+        else:
+            alpha, w, T_pref, _one_minus, T_out = _chunk_fast(
+                chunk, tri_ref[...], pbas_ref[...], T, ox, oy, dims
+            )
+            done_out = T_out < STOP_T
+            is_med = (alpha > 0.0) & (T_pref > 0.5)
         ones = jnp.ones((1, K), jnp.float32)
         A6 = jnp.concatenate(
             [row(_R), row(_G), row(_B), row(_Z), ones,
@@ -1311,7 +1332,6 @@ def _flat_fwd_kernel(
         )
         accum = _mm(A6, w)
         k_iota = jax.lax.broadcasted_iota(jnp.int32, (K, px), 0)
-        is_med = apply & (T_pref > 0.5)
         last = jnp.max(jnp.where(is_med, k_iota + 1, 0), axis=0, keepdims=True)
         onehot = ((k_iota + 1) == last).astype(jnp.float32)
         z_sel = jax.lax.dot_general(
@@ -1367,9 +1387,20 @@ def _flat_bwd_kernel(
     def _():
         done = T_in <= 0.0
         chunk = packed_ref[0]
-        _b, alpha, unclamped, apply, T_pref, w, _T_out, _d = _chunk_common(
-            chunk, tri_ref[...], pbas_ref[...], T_in, done, ox, oy, dims
-        )
+        if dims.exact:
+            _b, alpha, unclamped, apply, T_pref, w, _T_out, _d = _chunk_common(
+                chunk, tri_ref[...], pbas_ref[...], T_in, done, ox, oy, dims
+            )
+            gate = apply
+            gate_pow = apply & unclamped
+        else:
+            alpha, w, T_pref, _om, _T_out = _chunk_fast(
+                chunk, tri_ref[...], pbas_ref[...], T_in, ox, oy, dims
+            )
+            # done pixels carry T_in = 0: their suffix still holds the
+            # final-T cotangent, so gate their (never-applied) grads off.
+            gate = (alpha > 0.0) & jnp.logical_not(done)
+            gate_pow = gate & (alpha < 0.99)
         row = lambda r: chunk[r : r + 1, :]
         ones = jnp.ones((1, K), jnp.float32)
         A5 = jnp.concatenate([row(_R), row(_G), row(_B), row(_Z), ones], 0)
@@ -1383,8 +1414,8 @@ def _flat_bwd_kernel(
         else:
             suffix = _mm_split2_rev(utri_ref[...], wphi) + r_ref[...]
         one_minus = jnp.maximum(1.0 - alpha, 1e-6)
-        d_alpha = jnp.where(apply, T_pref * phi - suffix / one_minus, 0.0)
-        d_power = jnp.where(apply & unclamped, d_alpha, 0.0) * alpha
+        d_alpha = jnp.where(gate, T_pref * phi - suffix / one_minus, 0.0)
+        d_power = jnp.where(gate_pow, d_alpha, 0.0) * alpha
         Srows = _dgT_split2(pbas_ref[...], d_power)
         WGrows = jax.lax.dot_general(
             G5, w, (((1,), (1,)), ((), ())),

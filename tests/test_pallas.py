@@ -261,14 +261,17 @@ def test_fused_tracking_pose_gradient_e2e(rng, exact):
     np.testing.assert_allclose(np.asarray(gt_f), np.asarray(gt_ref), rtol=5e-3, atol=1e-3)
 
 
-def test_flat_chunk_blend_matches_tiled(rng):
+@pytest.mark.parametrize("exact", [True, False])
+def test_flat_chunk_blend_matches_tiled(rng, exact):
     """The flat-chunk mapping path (ChunkBins + _blend_flat) must match the
-    XLA tiled renderer in outputs AND parameter gradients."""
+    XLA tiled renderer in outputs AND parameter gradients. exact=False
+    covers the lean fast chunk math (past-stop tails bounded by the 1e-4
+    exit transmittance)."""
     from gsorb_slam_tpu.raster.binning import chunk_layout, tile_grid_shape
     from gsorb_slam_tpu.raster.pallas_raster import render_pallas_flat
 
     cfg = RasterConfig(tile=16, tile_capacity=256, max_dup=16, chunk=64,
-                       exact_stop=True, chunk_budget=64)
+                       exact_stop=exact, chunk_budget=64)
     cam = tiny_camera()
     scene = random_cloud_scene(rng, n=300, capacity=384)
     prep = _prep(scene, cam)
@@ -277,16 +280,17 @@ def test_flat_chunk_blend_matches_tiled(rng):
     cbins = chunk_layout(bins, ty * tx, cfg.chunk, cfg.chunk_budget)
     assert int(cbins.n_chunks) <= cfg.chunk_budget
 
+    tol = 5e-5 if exact else 3e-4
     ref = render_tiled(prep, bins, cam, cfg)
     out = render_pallas_flat(prep, cbins, cam, cfg, interpret=True)
-    np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color), atol=5e-5)
-    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(out.alpha), np.asarray(ref.alpha), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color), atol=tol)
+    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth), atol=2 * tol)
+    np.testing.assert_allclose(np.asarray(out.alpha), np.asarray(ref.alpha), atol=tol)
     np.testing.assert_allclose(
-        np.asarray(out.final_t), np.asarray(ref.final_t), atol=5e-5
+        np.asarray(out.final_t), np.asarray(ref.final_t), atol=tol
     )
     np.testing.assert_allclose(
-        np.asarray(out.median_depth), np.asarray(ref.median_depth), atol=1e-4
+        np.asarray(out.median_depth), np.asarray(ref.median_depth), atol=2 * tol
     )
 
     # parameter gradients through preprocess (the mapping consumer)
@@ -308,7 +312,8 @@ def test_flat_chunk_blend_matches_tiled(rng):
     g_ref = jax.grad(loss_tiled)(z)
     g_flat = jax.grad(loss_flat)(z)
     np.testing.assert_allclose(
-        np.asarray(g_flat), np.asarray(g_ref), atol=2e-4, rtol=2e-3
+        np.asarray(g_flat), np.asarray(g_ref),
+        atol=2e-4 if exact else 8e-4, rtol=2e-3,
     )
 
 
