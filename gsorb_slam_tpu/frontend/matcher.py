@@ -83,6 +83,40 @@ def match_descriptors(
     )
 
 
+def search_by_bow(
+    f1: ORBFeatures,
+    f2: ORBFeatures,
+    nodes1: jnp.ndarray,  # [N1] direct-index node ids (-1 invalid)
+    nodes2: jnp.ndarray,  # [N2]
+    max_dist: int = TH_LOW,
+    ratio: float = 0.75,
+    check_rotation: bool = True,
+) -> MatchResult:
+    """Direct-index-bucketed matching (``SearchByBoW``
+    ``src/ORBmatcher.cc:159,522``): only descriptor pairs whose vocabulary
+    descent lands in the same tree node (``levels_up`` above the leaf) are
+    candidates — DBoW2's ``FeatureVector`` bucket walk as a masked distance
+    matrix. Same ratio / rotation-consistency gates as the reference."""
+    D = hamming_matrix(f1.descriptors, f2.descriptors)
+    same = (nodes1[:, None] == nodes2[None, :]) & (nodes1 >= 0)[:, None]
+    D = jnp.where(same & f1.valid[:, None] & f2.valid[None, :], D, BIG)
+    best2 = jnp.argmin(D, axis=1)
+    d_best = jnp.take_along_axis(D, best2[:, None], axis=1)[:, 0]
+    D2 = D.at[jnp.arange(D.shape[0]), best2].set(BIG)
+    d_second = jnp.min(D2, axis=1)
+    valid = (
+        f1.valid
+        & (d_best <= max_dist)
+        & (d_best.astype(jnp.float32) < ratio * d_second.astype(jnp.float32))
+    )
+    rev_best = jnp.argmin(jnp.where(valid[:, None], D, BIG), axis=0)
+    mutual = rev_best[best2] == jnp.arange(D.shape[0])
+    valid = valid & mutual
+    if check_rotation:
+        valid = _rotation_consistency(f1.angle, f2.angle[best2], valid)
+    return MatchResult(idx2=jnp.where(valid, best2, -1), dist=d_best, valid=valid)
+
+
 def fundamental_from_poses(T1_cw: jnp.ndarray, T2_cw: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
     """F12 mapping image-1 points to epipolar lines in image 2
     (``ComputeF12`` ``src/LocalMapping.cc``)."""

@@ -34,6 +34,16 @@ class Vocabulary:
 
     def transform(self, descriptors: jnp.ndarray, valid: jnp.ndarray):
         """Descriptors [N, 8] -> (word ids [N], tf-idf weights [N])."""
+        wid, w, _nodes = self.transform_with_nodes(descriptors, valid)
+        return wid, w
+
+    def transform_with_nodes(
+        self, descriptors: jnp.ndarray, valid: jnp.ndarray, levels_up: int = 1
+    ):
+        """Descent that ALSO returns the tree node ``levels_up`` above the
+        leaf — the DBoW2 direct index (``FeatureVector``; ORB-SLAM2 builds
+        it with levelsup=4 on an L=6 tree, ``ORBVocabulary`` typedef).
+        Returns (word ids [N], tf-idf weights [N], node ids [N])."""
         children = jnp.asarray(self.children)
         node_desc = jnp.asarray(self.node_desc)
         word_id = jnp.asarray(self.word_id)
@@ -44,7 +54,9 @@ class Vocabulary:
             return jnp.sum(jax.lax.population_count(x), axis=-1)
 
         node = jnp.zeros(descriptors.shape[0], jnp.int32)
-        for _ in range(self.L):
+        direct = jnp.zeros(descriptors.shape[0], jnp.int32)
+        stop_level = max(self.L - max(levels_up, 0), 0)
+        for lvl in range(self.L):
             ch = children[node]  # [N, k]
             has = ch >= 0
             cd = node_desc[jnp.maximum(ch, 0)]  # [N, k, 8]
@@ -52,9 +64,15 @@ class Vocabulary:
             best = jnp.argmin(d, axis=1).astype(jnp.int32)
             nxt = jnp.take_along_axis(ch, best[:, None], axis=1)[:, 0]
             node = jnp.where(nxt >= 0, nxt, node)
+            if lvl + 1 == stop_level:
+                direct = node
         wid = word_id[node]
         w = jnp.where((wid >= 0) & valid, weights[jnp.maximum(wid, 0)], 0.0)
-        return jnp.where(valid, wid, -1), w
+        return (
+            jnp.where(valid, wid, -1),
+            w,
+            jnp.where(valid, direct, -1),
+        )
 
     def bow_vector(self, descriptors, valid) -> dict[int, float]:
         """Sparse L1-normalized tf-idf BoW vector (host dict)."""

@@ -761,9 +761,24 @@ class GeometricFrontend:
             ][: max(n_candidates * 2, 5)]
         else:
             cands = self.keyframes[-20:]
+        use_bow = kfdb is not None and getattr(kfdb, "vocab", None) is not None
+        if use_bow:
+            # SearchByBoW (src/ORBmatcher.cc:159): direct-index node buckets
+            # prune the candidate pairs before the Hamming test.
+            from gsorb_slam_tpu.frontend.matcher import search_by_bow
+
+            _w, _t, nodes_f = kfdb.vocab.transform_with_nodes(
+                feats.descriptors, feats.valid
+            )
         scored = []
         for kf in cands:
-            m = match_descriptors(feats, kf.feats, max_dist=64)
+            if use_bow:
+                _w2, _t2, nodes_k = kfdb.vocab.transform_with_nodes(
+                    kf.feats.descriptors, kf.feats.valid
+                )
+                m = search_by_bow(feats, kf.feats, nodes_f, nodes_k, max_dist=64)
+            else:
+                m = match_descriptors(feats, kf.feats, max_dist=64)
             scored.append((int(np.asarray(m.valid).sum()), kf, m))
         scored.sort(key=lambda x: -x[0])
         for n_match, kf, m in scored[:n_candidates]:

@@ -156,7 +156,18 @@ class LoopCloser:
         bidirectional image-plane reprojection edges
         (``Optimizer::OptimizeSim3`` ``src/Optimizer.cc:1047``); returns the
         world-frame correction transform or None."""
-        m = match_descriptors(kf_query.feats, kf_match.feats, max_dist=64)
+        # Direct-index-bucketed candidates (SearchByBoW KF<->KF,
+        # src/ORBmatcher.cc:522) via the vocabulary's FeatureVector nodes.
+        from gsorb_slam_tpu.frontend.matcher import search_by_bow
+
+        voc = self.db.vocab
+        _w1, _t1, n1 = voc.transform_with_nodes(
+            kf_query.feats.descriptors, kf_query.feats.valid
+        )
+        _w2, _t2, n2 = voc.transform_with_nodes(
+            kf_match.feats.descriptors, kf_match.feats.valid
+        )
+        m = search_by_bow(kf_query.feats, kf_match.feats, n1, n2, max_dist=64)
         mv = np.asarray(m.valid)
         idx2 = np.asarray(m.idx2)
         p1_ids = kf_query.point_ids

@@ -226,54 +226,57 @@ def track_frame(
     # reference BREAKS on |dloss| < 1e-3 (src/Render.cc:1108-1111), and a
     # while actually skips the remaining renders (a frozen scan would only
     # mask their updates while still paying for them).
-    def cond(carry):
-        it = carry[6]
-        return it < num_iters
+    #
+    # Rebins SEGMENT the loop instead of living in a lax.cond inside it:
+    # a cond whose operands include the ~80MB instance pack copies it
+    # every iteration (measured 2.2 ms/iter at VGA — a quarter of the
+    # whole iteration). Between segments the pack is rebuilt
+    # unconditionally in straight-line XLA and enters the next while_loop
+    # as a CLOSURE CONSTANT, so the carry stays scalar-sized.
+    def run_segment(carry, raw, b_cnt, seg_start, seg_end):
+        def cond(carry):
+            return carry[6] < seg_end
 
-    def step(carry):
-        (ps, inliers, best_q, best_t, best_loss, last_loss, it, n_applied,
-         raw, b_idx, b_cnt) = carry
-
-        if rebin_iters:
-            do_rebin = jnp.zeros((), bool)
-            for r in rebin_iters:
-                do_rebin = do_rebin | (it == r)
-
-            def rebin(args):
-                raw, b_idx, b_cnt = args
-                b = build_bins(pose_to_matrix(ps.quat, ps.trans))
-                return build_raw(b), b.indices, b.counts
-
-            raw, b_idx, b_cnt = jax.lax.cond(
-                do_rebin, rebin, lambda a: a, (raw, b_idx, b_cnt)
+        def step(carry):  # noqa: C901
+            (ps, inliers, best_q, best_t, best_loss, last_loss, it,
+             n_applied) = carry
+            (loss, chi2), (gq, gt_) = value_and_grad_iter(
+                ps.quat, ps.trans, inliers, raw, b_cnt
             )
 
-        (loss, chi2), (gq, gt_) = value_and_grad_iter(
-            ps.quat, ps.trans, inliers, raw, b_cnt
-        )
+            # Halfway inlier re-gate on the current pose's raw chi^2.
+            inliers = jnp.where(
+                it == regate_iter,
+                reprojection_chi2(
+                    pose_to_matrix(ps.quat, ps.trans), matches, cam
+                )
+                < CHI2_INLIER,
+                inliers,
+            )
 
-        # Halfway inlier re-gate on the current pose's raw chi^2.
-        inliers = jnp.where(
-            it == regate_iter,
-            reprojection_chi2(pose_to_matrix(ps.quat, ps.trans), matches, cam)
-            < CHI2_INLIER,
-            inliers,
-        )
+            improved = jnp.isfinite(loss) & (loss < best_loss)
+            best_q = jnp.where(improved, ps.quat, best_q)
+            best_t = jnp.where(improved, ps.trans, best_t)
+            best_loss = jnp.where(improved, loss, best_loss)
 
-        improved = jnp.isfinite(loss) & (loss < best_loss)
-        best_q = jnp.where(improved, ps.quat, best_q)
-        best_t = jnp.where(improved, ps.trans, best_t)
-        best_loss = jnp.where(improved, loss, best_loss)
+            converged = jnp.abs(last_loss - loss) < tcfg.early_stop_delta
+            it_next = jnp.where(converged, num_iters, it + 1)  # break
 
-        converged = jnp.abs(last_loss - loss) < tcfg.early_stop_delta
-        it_next = jnp.where(converged, num_iters, it + 1)  # break
+            ps = pose_adam_step(ps, gq, gt_, tcfg)
+            return (ps, inliers, best_q, best_t, best_loss, loss, it_next,
+                    n_applied + 1)
 
-        ps = pose_adam_step(ps, gq, gt_, tcfg)
-        return (ps, inliers, best_q, best_t, best_loss, loss, it_next,
-                n_applied + 1, raw, b_idx, b_cnt)
+        if tcfg.early_stop_delta <= 0.0:
+            # No break possible: a STATIC-trip fori_loop lets XLA pipeline
+            # iterations without the while cond's scalar round-trip
+            # (~2 ms/iter at VGA). seg_start/seg_end are Python ints.
+            return jax.lax.fori_loop(
+                0, seg_end - seg_start, lambda _i, c: step(c), carry
+            )
+        return jax.lax.while_loop(cond, step, carry)
 
     inliers0 = jnp.ones_like(matches.valid)
-    carry0 = (
+    carry = (
         ps0,
         inliers0,
         quat0,
@@ -282,11 +285,21 @@ def track_frame(
         jnp.asarray(0.0, jnp.float32),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(0, jnp.int32),
-        raw,
-        bins.indices,
-        bins.counts,
     )
-    out_carry = jax.lax.while_loop(cond, step, carry0)
+    boundaries = list(sorted(rebin_iters)) + [num_iters]
+    b_cnt = bins.counts
+    seg_start = 0
+    for i, seg_end in enumerate(boundaries):
+        if i > 0:
+            # Unconditional rebin at the segment boundary (runs even if the
+            # loop already converged — rare, and far cheaper than the
+            # per-iteration copy a cond would cost).
+            ps_cur = carry[0]
+            b = build_bins(pose_to_matrix(ps_cur.quat, ps_cur.trans))
+            raw, b_cnt = build_raw(b), b.counts
+        carry = run_segment(carry, raw, b_cnt, seg_start, seg_end)
+        seg_start = seg_end
+    out_carry = carry
     (ps, inliers, best_q, best_t, best_loss, _, _, n_applied) = out_carry[:8]
 
     T_best = pose_to_matrix(best_q, best_t)

@@ -158,3 +158,37 @@ def test_geometric_frontend_tracks(rng):
     assert int(jnp.sum(res.matches.valid)) == res.n_inliers or int(
         jnp.sum(res.matches.valid)
     ) == min(res.n_inliers, fe.match_capacity)
+
+
+def test_search_by_bow_direct_index(rng):
+    """SearchByBoW (src/ORBmatcher.cc:159): matches must share the direct-
+    index node bucket, and on a shifted view the bucketed search should
+    recover a healthy fraction of the brute-force matches."""
+    import jax.numpy as jnp
+
+    from gsorb_slam_tpu.core.config import ORBConfig
+    from gsorb_slam_tpu.frontend.matcher import match_descriptors, search_by_bow
+    from gsorb_slam_tpu.frontend.orb import extract_orb
+    from gsorb_slam_tpu.frontend.vocab import build_vocabulary
+
+    img = _textured(rng, h=240, w=320, n=150)
+    img2 = np.roll(img, -7, axis=1)
+    cfg = ORBConfig(n_features=300, n_levels=2)
+    f1 = extract_orb(jnp.asarray(img), cfg)
+    f2 = extract_orb(jnp.asarray(img2), cfg)
+    d = np.asarray(f1.descriptors)[np.asarray(f1.valid)]
+    voc = build_vocabulary(d, k=6, L=3, seed=1)
+    _w1, _t1, n1 = voc.transform_with_nodes(f1.descriptors, f1.valid)
+    _w2, _t2, n2 = voc.transform_with_nodes(f2.descriptors, f2.valid)
+
+    mb = search_by_bow(f1, f2, n1, n2)
+    mref = match_descriptors(f1, f2, max_dist=50, ratio=0.75)
+    nb = int(np.asarray(mb.valid).sum())
+    nr = int(np.asarray(mref.valid).sum())
+    assert nb >= max(10, int(0.4 * nr)), (nb, nr)
+    # every bucketed match shares its direct-index node
+    v = np.asarray(mb.valid)
+    i2 = np.asarray(mb.idx2)
+    n1_np, n2_np = np.asarray(n1), np.asarray(n2)
+    for i in np.nonzero(v)[0]:
+        assert n1_np[i] == n2_np[i2[i]]

@@ -28,8 +28,8 @@ def _out_and_back_trajectory():
     build the 3-consistent streak."""
     xs = []
     xs += list(np.arange(0.0, 1.6, 0.2))  # 8 outbound
-    xs += list(np.arange(1.4, -0.01, -0.2))  # 8 return
-    xs += [0.015, 0.0, 0.012, 0.005]  # 4 dwell (jitter keeps KFs coming)
+    xs += [1.1, 0.7, 0.35, 0.1]  # coarse return
+    xs += [0.015, 0.0, 0.012]  # dwell (jitter keeps KFs coming)
     poses = []
     for i, x in enumerate(xs):
         T = np.eye(4, dtype=np.float32)
@@ -50,17 +50,17 @@ def test_loop_closes_on_revisit():
         ),
         orb=ORBConfig(n_features=300, n_levels=3),
         mapping=MappingConfig(
-            num_iters=15, init_iters=20, max_gaussians=16384,
-            window_size=4, covis_window=2,
+            num_iters=10, init_iters=15, max_gaussians=16384,
+            window_size=3, covis_window=2,
         ),
-        tracking=TrackingConfig(num_iters=20),
+        tracking=TrackingConfig(num_iters=15),
     )
     traj = _out_and_back_trajectory()
     ds = SyntheticDataset(
         cam, n_splats=3000, seed=5, trajectory=traj
     )
     rcfg = RasterConfig(
-        tile=16, tile_capacity=2048, max_dup=16, chunk=128, dilate_px=8.0
+        tile=16, tile_capacity=1024, max_dup=16, chunk=128, dilate_px=8.0
     )
     sys_ = System(cfg, max_keyframes=32, raster=rcfg, frontend="orb",
                   vocabulary=vocab)
