@@ -33,7 +33,7 @@ def main() -> None:
     ap.add_argument("--no-distortion", action="store_true")
     ap.add_argument("--no-noise", action="store_true")
     ap.add_argument("--frontend", default="orb", choices=["orb", "render"])
-    ap.add_argument("--max-gaussians", type=int, default=1 << 19)
+    ap.add_argument("--max-gaussians", type=int, default=1 << 20)
     ap.add_argument("--out", default="experiments/tum_like")
     ap.add_argument("--eval-stride", type=int, default=1)
     ap.add_argument("--cache", default="/tmp/gsorb_bench_cache")
@@ -146,6 +146,10 @@ def main() -> None:
         "distortion": not args.no_distortion,
         "frontend": args.frontend,
         "backend": jax.default_backend(),
+        "densify_added_mean": summ["densify_added_mean"],
+        "densify_added_max": summ["densify_added_max"],
+        "capacity_frac": summ["capacity_frac"],
+        "loop_events": len(sys_.loop_events),
     }
     with open(os.path.join(args.out, "result.txt"), "a") as f:
         f.write(json.dumps(result) + "\n")

@@ -29,7 +29,7 @@ from gsorb_slam_tpu.raster.binning import TileBins
 from gsorb_slam_tpu.raster.preprocess import LOW_PASS, NEAR_CULL
 from gsorb_slam_tpu.raster.types import RasterConfig, RenderOutput
 
-N_RAW = 16  # mean3(3) rgb(3) quat(4) log_scales(3) logit_op(1) live(1) pad(1)
+N_RAW = 16  # mean3(3) rgb(3) cov_w(6) logit_op(1) live(1) pad(2)
 
 
 def pack_raw_instances(
@@ -41,17 +41,45 @@ def pack_raw_instances(
     active: jnp.ndarray,
     bins: TileBins,
 ) -> jnp.ndarray:
-    """ONE row-gather of raw params into [T, N_RAW, cap]."""
+    """ONE row-gather of raw params into [T, N_RAW, cap].
+
+    The WORLD covariance (quat normalize -> rotmat -> Rg diag(exp(2s)) Rg^T,
+    ``forward.cu:118-152``) is pose-independent, so it is computed here ONCE
+    per (re)binning episode on the C gaussians — not per instance per
+    tracking iteration. ``preprocess_instances`` then only pays the
+    pose-dependent chain (camera transform + EWA), roughly halving the
+    per-iteration XLA cost outside the fused kernel."""
     T, cap = bins.indices.shape
+    qw, qx, qy, qz = quats[:, 0], quats[:, 1], quats[:, 2], quats[:, 3]
+    qn = jnp.maximum(jnp.sqrt(qw * qw + qx * qx + qy * qy + qz * qz), 1e-12)
+    w_, xq, yq, zq = qw / qn, qx / qn, qy / qn, qz / qn
+    r00 = 1 - 2 * (yq * yq + zq * zq)
+    r01 = 2 * (xq * yq - w_ * zq)
+    r02 = 2 * (xq * zq + w_ * yq)
+    r10 = 2 * (xq * yq + w_ * zq)
+    r11 = 1 - 2 * (xq * xq + zq * zq)
+    r12 = 2 * (yq * zq - w_ * xq)
+    r20 = 2 * (xq * zq - w_ * yq)
+    r21 = 2 * (yq * zq + w_ * xq)
+    r22 = 1 - 2 * (xq * xq + yq * yq)
+    v0 = jnp.exp(2.0 * log_scales[:, 0])
+    v1 = jnp.exp(2.0 * log_scales[:, 1])
+    v2 = jnp.exp(2.0 * log_scales[:, 2])
+    c00 = r00 * r00 * v0 + r01 * r01 * v1 + r02 * r02 * v2
+    c01 = r00 * r10 * v0 + r01 * r11 * v1 + r02 * r12 * v2
+    c02 = r00 * r20 * v0 + r01 * r21 * v1 + r02 * r22 * v2
+    c11 = r10 * r10 * v0 + r11 * r11 * v1 + r12 * r12 * v2
+    c12 = r10 * r20 * v0 + r11 * r21 * v1 + r12 * r22 * v2
+    c22 = r20 * r20 * v0 + r21 * r21 * v1 + r22 * r22 * v2
+    cov6 = jnp.stack([c00, c01, c02, c11, c12, c22], axis=1)
     cols = jnp.concatenate(
         [
             means,
             rgb,
-            quats,
-            log_scales,
+            cov6,
             logit_opacities[:, None],
             active.astype(jnp.float32)[:, None],
-            jnp.zeros_like(logit_opacities)[:, None],
+            jnp.zeros((means.shape[0], 2), jnp.float32),
         ],
         axis=1,
     )  # [C, N_RAW]
@@ -59,7 +87,7 @@ def pack_raw_instances(
     rows = cols[idx.reshape(-1)].reshape(T, cap, N_RAW)
     k = jnp.arange(cap, dtype=jnp.int32)
     live = (k[None, :] < bins.counts[:, None]).astype(jnp.float32)
-    rows = rows.at[:, :, N_RAW - 2].multiply(live)
+    rows = rows.at[:, :, 13].multiply(live)  # live column
     return jnp.swapaxes(rows, 1, 2)  # [T, N_RAW, cap]
 
 
@@ -75,10 +103,10 @@ def preprocess_instances(
     g = lambda r: raw[:, r, :]  # [T, cap]
     x, y, z3 = g(0), g(1), g(2)
     r_, g_, b_ = g(3), g(4), g(5)
-    qw, qx, qy, qz = g(6), g(7), g(8), g(9)
-    s0, s1, s2 = g(10), g(11), g(12)
-    logit_op = g(13)
-    live = g(14)
+    c00, c01, c02 = g(6), g(7), g(8)
+    c11, c12, c22 = g(9), g(10), g(11)
+    logit_op = g(12)
+    live = g(13)
 
     R = T_cw[:3, :3]
     t = T_cw[:3, 3]
@@ -93,31 +121,10 @@ def preprocess_instances(
     txz = jnp.clip(tx_ / safe_z, -lim_x, lim_x)
     tyz = jnp.clip(ty_ / safe_z, -lim_y, lim_y)
 
-    # World covariance from quat * scale (forward.cu:118-152), elementwise.
-    qn = jnp.sqrt(qw * qw + qx * qx + qy * qy + qz * qz)
-    qn = jnp.maximum(qn, 1e-12)
-    w_, xq, yq, zq = qw / qn, qx / qn, qy / qn, qz / qn
-    r00 = 1 - 2 * (yq * yq + zq * zq)
-    r01 = 2 * (xq * yq - w_ * zq)
-    r02 = 2 * (xq * zq + w_ * yq)
-    r10 = 2 * (xq * yq + w_ * zq)
-    r11 = 1 - 2 * (xq * xq + zq * zq)
-    r12 = 2 * (yq * zq - w_ * xq)
-    r20 = 2 * (xq * zq - w_ * yq)
-    r21 = 2 * (yq * zq + w_ * xq)
-    r22 = 1 - 2 * (xq * xq + yq * yq)
-    e0 = jnp.exp(s0) * scale_modifier
-    e1 = jnp.exp(s1) * scale_modifier
-    e2 = jnp.exp(s2) * scale_modifier
-    v0, v1, v2 = e0 * e0, e1 * e1, e2 * e2
-    # cov_w = Rg diag(v) Rg^T
-    c00 = r00 * r00 * v0 + r01 * r01 * v1 + r02 * r02 * v2
-    c01 = r00 * r10 * v0 + r01 * r11 * v1 + r02 * r12 * v2
-    c02 = r00 * r20 * v0 + r01 * r21 * v1 + r02 * r22 * v2
-    c11 = r10 * r10 * v0 + r11 * r11 * v1 + r12 * r12 * v2
-    c12 = r10 * r20 * v0 + r11 * r21 * v1 + r12 * r22 * v2
-    c22 = r20 * r20 * v0 + r21 * r21 * v1 + r22 * r22 * v2
-    # cov_cam = R cov_w R^T (row-expanded; R is the 3x3 pose rotation)
+    # cov_cam = R (sm^2 cov_w) R^T: the world covariance is packed (pose-
+    # independent, see pack_raw_instances); the scale_modifier^2 factor
+    # folds into R so it costs nothing per instance.
+    R = R * scale_modifier
     m00 = R[0, 0] * c00 + R[0, 1] * c01 + R[0, 2] * c02
     m01 = R[0, 0] * c01 + R[0, 1] * c11 + R[0, 2] * c12
     m02 = R[0, 0] * c02 + R[0, 1] * c12 + R[0, 2] * c22

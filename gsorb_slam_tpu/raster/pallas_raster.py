@@ -878,7 +878,7 @@ def _fused_track_kernel_exact(
 
 def _fused_track_kernel_fast(
     counts_ref, packed_ref, gt_ref, grad_ref, loss_ref,
-    alpha_scr, tpref_scr, acc_ref, pbas_ref, tri_ref, utri_ref,
+    alpha_scr, tpref_scr, acc_ref, pbas_ref, tri_ref, utri_ref, st_ref,
     *, dims: _Dims, im_w: float, depth_w: float, use_sur: bool, B: int,
 ):
     """Lean fast-path fused tracking iteration, B tiles per grid step.
@@ -893,7 +893,7 @@ def _fused_track_kernel_fast(
       column-broadcast compare from the hot loop.
     - NO ``done``/STOP_T masking per element: once a pixel's transmittance
       is below 1e-4, the remaining weights sum to < 1e-4 by construction
-      (sum w <= T). Early exit still fires at super-chunk granularity.
+      (sum w <= T). Early exit fires at CHUNK granularity (below).
     - Median depth by TRANSMITTANCE CROSSING: the unique instance with
       T_pref > 0.5 and T_pref*(1-alpha) <= 0.5 (monotone T => at most one
       per pixel over the whole blend), accumulated with a plain add — no
@@ -904,6 +904,14 @@ def _fused_track_kernel_fast(
       (1-alpha[K-1]) instead of a masked re-reduction.
     - B tiles per grid step amortize the fixed per-step cost; scratch is
       reused sequentially (phase A+B complete per tile).
+    - PER-CHUNK early exit (the CUDA ``__syncthreads_count(done)`` break,
+      ``forward.cu:291-296``): each chunk's ~2us of slab math is wrapped in
+      ``pl.when(not saturated)`` against an SMEM done flag updated from the
+      chunk-exit transmittance. On opaque scenes most tiles saturate after
+      1-2 chunks, so this cuts executed chunk-units roughly in half versus
+      exiting only at super-chunk (unroll) granularity. ``st_ref`` (SMEM)
+      carries [executed-chunk count, done flag] per tile; phase B walks
+      exactly the executed chunks, also ``pl.when``-gated.
     """
     pid = pl.program_id(0)
     px, K, U = dims.px, dims.K, dims.unroll
@@ -924,6 +932,8 @@ def _fused_track_kernel_fast(
 
         acc_ref[...] = jnp.zeros((8, px), jnp.float32)
         acc_ref[6, :] = jnp.ones((px,), jnp.float32)
+        st_ref[0] = 0  # executed-chunk count (c_end)
+        st_ref[1] = 0  # all-pixels-saturated flag
 
         n_chunks_live = jnp.minimum(
             (count + K - 1) // K, dims.n_chunks
@@ -931,40 +941,44 @@ def _fused_track_kernel_fast(
         n_super = (n_chunks_live + U - 1) // U
 
         # ---- phase A ----
-        def cond(sc):
-            return (sc < n_super) & (jnp.sum(acc_ref[7, :]) < px - 0.5)
-
-        def body(sc):
-            acc = acc_ref[0:6, :]
+        def do_chunk(c):
             T = acc_ref[6:7, :]
+            chunk = packed_ref[b, :, pl.ds(c * K, K)]
+            row = lambda r: chunk[r : r + 1, :]
+            z = row(_Z)
+            alpha, w, T_pref, one_minus, T_out = _chunk_fast(
+                chunk, tri_ref[...], pbas_ref[...], T, ox, oy, dims
+            )
+            alpha_scr[pl.ds(c * K, K), :] = alpha
+            tpref_scr[pl.ds(c * K, K), :] = T_pref
+            ones = jnp.ones((1, K), jnp.float32)
+            A5 = jnp.concatenate(
+                [row(_R), row(_G), row(_B), z, ones], 0
+            )
+            accum = _mm(A5, w)  # [5, px]
+            # crossing median (self-masking: alpha=0 => no cross)
+            cross = ((T_pref > 0.5) & (T_pref * one_minus <= 0.5)).astype(
+                jnp.float32
+            )
+            z_sel = _mm(z, cross)  # [1, px]
+            acc_ref[0:5, :] = acc_ref[0:5, :] + accum
+            acc_ref[5:6, :] = acc_ref[5:6, :] + z_sel
+            acc_ref[6:7, :] = T_out
+            st_ref[0] = (c + 1).astype(jnp.int32)
+            st_ref[1] = (jnp.max(T_out) < STOP_T).astype(jnp.int32)
+
+        def body(sc, _):
             for j in range(U):
                 c = sc * U + j
-                chunk = packed_ref[b, :, pl.ds(c * K, K)]
-                row = lambda r: chunk[r : r + 1, :]
-                z = row(_Z)
-                alpha, w, T_pref, one_minus, T_out = _chunk_fast(
-                    chunk, tri_ref[...], pbas_ref[...], T, ox, oy, dims
-                )
-                alpha_scr[pl.ds(c * K, K), :] = alpha
-                tpref_scr[pl.ds(c * K, K), :] = T_pref
-                ones = jnp.ones((1, K), jnp.float32)
-                A5 = jnp.concatenate(
-                    [row(_R), row(_G), row(_B), z, ones], 0
-                )
-                accum = _mm(A5, w)  # [5, px]
-                # crossing median (self-masking: alpha=0 => no cross)
-                cross = ((T_pref > 0.5) & (T_pref * one_minus <= 0.5)).astype(
-                    jnp.float32
-                )
-                z_sel = _mm(z, cross)  # [1, px]
-                acc = jnp.concatenate([acc[0:5, :] + accum, acc[5:6, :] + z_sel], 0)
-                T = T_out
-            acc_ref[0:6, :] = acc
-            acc_ref[6:7, :] = T
-            acc_ref[7:8, :] = (T < STOP_T).astype(jnp.float32)
-            return sc + 1
 
-        sc_end = jax.lax.while_loop(cond, body, jnp.zeros((), jnp.int32))
+                @pl.when((c < n_chunks_live) & (st_ref[1] == 0))
+                def _():
+                    do_chunk(c)
+
+            return 0
+
+        jax.lax.fori_loop(0, n_super, body, 0)
+        sc_end = st_ref[0]  # exact executed chunk count (chunk units)
 
         # ---- cotangents + loss ----
         Cr, Cg, Cb = acc_ref[0:1, :], acc_ref[1:2, :], acc_ref[2:3, :]
@@ -999,7 +1013,8 @@ def _fused_track_kernel_fast(
         # ---- phase B ----
         acc_ref[7, :] = jnp.zeros((px,), jnp.float32)  # suffix accumulator R
 
-        def chunk_grad(c, R):
+        def chunk_grad(c):
+            R = acc_ref[7:8, :]
             alpha_a = alpha_scr[pl.ds(c * K, K), :]
             T_pref = tpref_scr[pl.ds(c * K, K), :]
             w = alpha_a * T_pref
@@ -1048,17 +1063,15 @@ def _fused_track_kernel_fast(
                 axis=0,
             )
             grad_ref[b, :, pl.ds(c * K, K)] = G16
-            return R + jnp.sum(wphi, axis=0, keepdims=True)
+            acc_ref[7:8, :] = R + jnp.sum(wphi, axis=0, keepdims=True)
 
         def bwd_body(i, _):
-            sc = (sc_end - 1) - i
+            for j in range(U):
+                c = (sc_end - 1) - (i * U + j)
 
-            @pl.when(sc >= 0)
-            def _():
-                R = acc_ref[7:8, :]
-                for j in range(U - 1, -1, -1):
-                    R = chunk_grad(sc * U + j, R)
-                acc_ref[7:8, :] = R
+                @pl.when(c >= 0)
+                def _():
+                    chunk_grad(c)
 
             return 0
 
@@ -1181,6 +1194,7 @@ def tracking_loss_grad(
                 pltpu.VMEM((8, dims.px), jnp.bfloat16),  # pixel basis
                 pltpu.VMEM((dims.K, dims.K), jnp.bfloat16),
                 pltpu.VMEM((dims.K, dims.K), jnp.bfloat16),
+                pltpu.SMEM((2,), jnp.int32),  # [c_end, saturated]
             ],
         ),
         out_shape=[

@@ -164,3 +164,112 @@ def test_system_mesh_mapping_end_to_end(rng):
     assert int(sys_.gm.n_active()) > 1000
     # the map was actually updated by the mesh path
     assert float(jnp.sum(jnp.abs(sys_.gm.adam_m["rgb"]))) > 0
+
+
+@pytest.mark.slow
+def test_mesh_window_convergence_parity():
+    """Final map QUALITY parity between the two mapping modes (r2 verdict
+    weak #6): the mesh path's batched-window step and the single-chip
+    one-random-frame-per-iteration loop (``src/Render.cc:420-483``
+    semantics) must both converge the window loss, to a similar level."""
+    import jax.numpy as jnp
+
+    from gsorb_slam_tpu.core.camera import Camera
+    from gsorb_slam_tpu.core.config import MappingConfig
+    from gsorb_slam_tpu.parallel.mesh import (
+        make_mesh,
+        parallel_window_step,
+        replicate_map,
+        shard_frames,
+    )
+    from gsorb_slam_tpu.raster import RasterConfig, bin_gaussians, preprocess, render
+    from gsorb_slam_tpu.slam.mapping import WindowFrames, map_window, seed_from_frame
+    from gsorb_slam_tpu.splat.gaussians import empty_map
+
+    cam = Camera(fx=60.0, fy=60.0, cx=32.0, cy=24.0, width=64, height=48)
+    mcfg = MappingConfig(max_gaussians=4096)
+    rcfg = RasterConfig(tile=16, tile_capacity=2048, max_dup=16, chunk=128,
+                        chunk_budget=128)
+    rng = np.random.default_rng(3)
+
+    # Ground-truth scene: random splats; window views rendered from it.
+    N = 1500
+    means = np.stack([rng.uniform(-1, 1, N), rng.uniform(-0.8, 0.8, N),
+                      rng.uniform(1.5, 3.0, N)], -1).astype(np.float32)
+    rgb = rng.uniform(0.1, 1.0, (N, 3)).astype(np.float32)
+    quats = rng.normal(size=(N, 4)).astype(np.float32)
+    lop = np.full(N, 5.0, np.float32)
+    lsc = np.log(rng.uniform(0.04, 0.1, (N, 3)).astype(np.float32))
+
+    views = []
+    for i in range(4):
+        T = jnp.eye(4).at[0, 3].set(0.03 * i)
+        out = render(jnp.asarray(means), jnp.asarray(rgb), jnp.asarray(quats),
+                     jnp.asarray(lop), jnp.asarray(lsc), jnp.ones(N, bool),
+                     T, cam, rcfg)
+        d = jnp.where(out.alpha > 0.5, out.median_depth, 0.0)
+        views.append((T, jnp.clip(out.color, 0, 1), d))
+
+    # Start map: seeded from view 0 only (imperfect; both modes must improve).
+    gm0 = empty_map(mcfg.max_gaussians)
+    gm0 = seed_from_frame(gm0, views[0][1], views[0][2], views[0][0], cam,
+                          mcfg, stride=2)
+
+    poses, bidx, bcnt = [], [], []
+    for T, _c, _d in views:
+        prep = preprocess(gm0.means, gm0.rgb, gm0.quats, gm0.logit_opacities,
+                          gm0.log_scales, gm0.active, T, cam)
+        b = bin_gaussians(prep, cam, rcfg)
+        poses.append(T)
+        bidx.append(b.indices)
+        bcnt.append(b.counts)
+    frames = WindowFrames(
+        colors=jnp.stack([c for _t, c, _d in views]),
+        depths=jnp.stack([d for _t, _c, d in views]),
+        poses=jnp.stack(poses),
+        bins_indices=jnp.stack(bidx),
+        bins_counts=jnp.stack(bcnt),
+        n_frames=jnp.asarray(4, jnp.int32),
+    )
+
+    def window_loss(gm):
+        import dataclasses
+
+        from gsorb_slam_tpu.raster.binning import TileBins
+        from gsorb_slam_tpu.raster.tiled import render_tiled
+        from gsorb_slam_tpu.slam.mapping import _mapping_loss
+
+        total = 0.0
+        for i in range(4):
+            prep = preprocess(gm.means, gm.rgb, gm.quats, gm.logit_opacities,
+                              gm.log_scales, gm.active, frames.poses[i], cam,
+                              mcfg.scale_modifier)
+            bins = TileBins(indices=frames.bins_indices[i],
+                           counts=frames.bins_counts[i],
+                           n_dropped=jnp.zeros((), jnp.int32))
+            out = render_tiled(prep, bins, cam, rcfg, bg=mcfg.background_color)
+            total = total + _mapping_loss(
+                gm, out, frames.colors[i], frames.depths[i], mcfg, False
+            )
+        return float(total) / 4.0
+
+    loss0 = window_loss(gm0)
+
+    # Single-chip: 32 one-random-frame iterations.
+    gm_s, _ = map_window(gm0, frames, jax.random.PRNGKey(0), cam, mcfg, rcfg,
+                         num_iters=32)
+    loss_s = window_loss(gm_s)
+
+    # Mesh: 8 batched steps on 4 devices = 32 frame-gradients.
+    mesh = make_mesh(4)
+    gm_m = replicate_map(gm0, mesh)
+    fr = shard_frames(frames, mesh)
+    step = jax.jit(lambda g, f: parallel_window_step(g, f, mesh, cam, mcfg, rcfg))
+    for _ in range(8):
+        gm_m, _l = step(gm_m, fr)
+    loss_m = window_loss(gm_m)
+
+    assert loss_s < 0.8 * loss0, (loss_s, loss0)
+    assert loss_m < 0.8 * loss0, (loss_m, loss0)
+    # similar final quality (generous band: step semantics legitimately differ)
+    assert loss_m < 1.5 * loss_s + 1e-3, (loss_m, loss_s)
