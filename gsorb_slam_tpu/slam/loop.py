@@ -128,12 +128,19 @@ class LoopCloser:
         self.min_consistency = min_consistency
         self.min_gap = min_gap
         self.consistency: dict[int, int] = {}
+        # Cooldown after a successful closure: the reference skips detection
+        # for 10 keyframes past the last loop (LoopClosing::DetectLoop,
+        # ``src/LoopClosing.cc:105``: mnId < mLastLoopKFid + 10).
+        self.last_closed_kf: int = -1000
         self.key = jnp.asarray(np.array([0, 42], np.uint32))
 
     def add_keyframe(self, kf) -> None:
         self.db.add(kf.kf_id, kf.feats.descriptors, kf.feats.valid)
 
     def detect(self, kf, recent_ids: set[int]) -> Optional[int]:
+        if kf.kf_id < self.last_closed_kf + 10:
+            self.consistency = {}
+            return None
         cands = self.db.query(kf.kf_id, recent_ids, self.min_score)
         new_consistency: dict[int, int] = {}
         detected = None
@@ -149,7 +156,7 @@ class LoopCloser:
         return detected
 
     def verify(
-        self, kf_query, kf_match, frontend, cam=None
+        self, kf_query, kf_match, frontend, cam=None, debug: bool = False
     ) -> Optional[np.ndarray]:
         """Geometric check: match descriptors, align the matched map points
         with fixed-scale RANSAC Horn (``Sim3Solver``), then refine on
@@ -180,6 +187,12 @@ class LoopCloser:
             if p1 >= 0 and p2 >= 0 and frontend.pt_valid[p1] and frontend.pt_valid[p2]:
                 pairs.append((p1, p2))
                 kp_pairs.append((i, idx2[i]))
+        if debug:
+            print(
+                f"    verify[{kf_query.kf_id}->{kf_match.kf_id}]: "
+                f"bow_matches={int(mv.sum())} mp_pairs={len(pairs)} "
+                f"(min {self.min_inliers})", flush=True,
+            )
         if len(pairs) < self.min_inliers:
             return None
         pairs = np.array(pairs)
@@ -201,6 +214,10 @@ class LoopCloser:
             jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(pvalid),
             jnp.asarray(self.key), fix_scale=True,
         )
+        if debug:
+            print(
+                f"    verify: ransac_inliers={int(res.n_inliers)}", flush=True
+            )
         if int(res.n_inliers) < self.min_inliers:
             return None
         # Iterative inlier refinement — the ``OptimizeSim3`` analog
@@ -215,6 +232,11 @@ class LoopCloser:
             r = x2r - (x1r @ R.T + t)
             d = np.linalg.norm(r, axis=-1)
             inl = d < th
+            if debug:
+                print(
+                    f"    verify: refit th={th} inliers={int(inl.sum())}",
+                    flush=True,
+                )
             if inl.sum() < self.min_inliers:
                 return None
             # numpy Horn fit (dynamic inlier counts would recompile jit)

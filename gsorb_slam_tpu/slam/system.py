@@ -62,6 +62,15 @@ class FrameRecord:
     track_iters: int
 
 
+@dataclasses.dataclass
+class _ForcedTrackResult:
+    """Stand-in track result when a pose is injected (``gt_pose``)."""
+
+    T_cw: np.ndarray
+    loss: float = 0.0
+    n_iters: int = 0
+
+
 class System:
     """Drop-in analog of the reference ``System`` facade for RGB-D.
 
@@ -486,6 +495,7 @@ class System:
         self.fe.last_adjusted = adjusted
         self._sync_frontend_poses()
         self._invalidate_all_bins()
+        lc.last_closed_kf = fe_kf.kf_id
         self.loop_events.append((self.frame_id, fe_kf.kf_id, cand))
 
     # ----------------------------------------------------------------- track
@@ -497,12 +507,17 @@ class System:
         timestamp: float = 0.0,
         matches: Optional[T.FeatureMatches] = None,
         stereo_aux: Optional[dict] = None,  # from track_stereo: feats/kp_ur/kp_depth
+        gt_pose: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """Process one RGB-D frame; returns the estimated T_cw [4,4].
 
         The reference entry point chain ``System::TrackRGBD`` ->
         ``Tracking::GrabImageRGBD`` -> ``TrackWithGaussian``
         (``src/System.cc:229``, ``src/Tracking.cc:250-451``).
+
+        ``gt_pose`` (debug/eval harnesses only): skip pose optimization and
+        run keyframing/densify/mapping at the given T_cw — isolates mapping
+        quality from tracking error.
         """
         rgb_np = np.asarray(rgb, np.float32)
         depth_np = np.asarray(depth, np.float32)
@@ -521,10 +536,20 @@ class System:
                 feats0 = aux.get("feats")
                 if feats0 is None:
                     feats0 = self.fe._extract(jnp.asarray(gray))
-                self.fe.create_keyframe(
-                    feats0, depth_np, np.eye(4, dtype=np.float32), frame_id=0,
+                T0 = (
+                    np.eye(4, dtype=np.float32)
+                    if gt_pose is None
+                    else np.asarray(gt_pose, np.float32)
+                )
+                kf0 = self.fe.create_keyframe(
+                    feats0, depth_np, T0, frame_id=0,
                     kp_depth=aux.get("kp_depth"),
                 )
+                # The first keyframe must enter the loop/reloc BoW database
+                # too (System.cc:86-96 loads the vocabulary before ANY
+                # keyframe; KeyFrameDatabase::add runs for every KF).
+                if self.loop_closer is not None:
+                    self.loop_closer.add_keyframe(kf0)
             else:
                 T_pred = (self.velocity @ self.last_T_cw).astype(np.float32)
                 fe_res = self.fe.process_frame(
@@ -532,13 +557,16 @@ class System:
                 )
 
         if self.frame_id == 0:
-            T_cw = np.eye(4, dtype=np.float32)
+            T_cw = np.eye(4, dtype=np.float32) if gt_pose is None else np.asarray(
+                gt_pose, np.float32
+            )
             self._initialize(
                 color, d, T_cw, fe_kf_id=0 if self.fe is not None else -1
             )
         else:
             T_cw = self._track_and_map(
-                color, d, matches, fe_res, depth_np, kp_depth=aux.get("kp_depth")
+                color, d, matches, fe_res, depth_np, kp_depth=aux.get("kp_depth"),
+                forced_pose=gt_pose,
             )
 
         self.last_T_cw = T_cw
@@ -578,7 +606,8 @@ class System:
         )
 
     def _track_and_map(
-        self, color, depth, matches, fe_res=None, depth_np=None, kp_depth=None
+        self, color, depth, matches, fe_res=None, depth_np=None, kp_depth=None,
+        forced_pose=None,
     ) -> np.ndarray:
         cfg = self.cfg
         # Motion model (Tracking::TrackWithMotionModel seed), replaced by the
@@ -609,12 +638,18 @@ class System:
                         self._lost_streak = 0
 
         t0 = time.perf_counter()
-        bins = self._bin_jit(self.gm, jnp.asarray(T_init))
-        res = self._track_jit(
-            self.gm, jnp.asarray(T_init), color, depth, matches, bins,
-            n_iters=n_track_iters,
-        )
-        T_cw = np.asarray(res.T_cw)
+        if forced_pose is not None:
+            # Debug/eval pose injection: skip the render-based pose refine.
+            T_cw = np.asarray(forced_pose, np.float32)
+            bins = self._bin_jit(self.gm, jnp.asarray(T_cw))
+            res = _ForcedTrackResult(T_cw=T_cw)
+        else:
+            bins = self._bin_jit(self.gm, jnp.asarray(T_init))
+            res = self._track_jit(
+                self.gm, jnp.asarray(T_init), color, depth, matches, bins,
+                n_iters=n_track_iters,
+            )
+            T_cw = np.asarray(res.T_cw)
         if not np.isfinite(T_cw).all():
             # Tracking-diverged tripwire (the reference's lost-tracking /
             # auto-reset analog, src/Tracking.cc:699-707): fall back to the

@@ -311,9 +311,25 @@ def main():
     gt4 = tile_gt_images(gt_c, gt_d, cam, cfg)
     print(f"fixed {FIXED_CHUNKS} chunks/tile, 1200 tiles", flush=True)
 
-    run_variant("full (A+B)", packed, bins.counts, gt4, cam, cfg, True, True, True)
-    run_variant("mxu-bf16 (A+B)", packed, bins.counts, gt4, cam, cfg, True, True, True, mxu_fast=True)
-    run_variant("full repeat", packed, bins.counts, gt4, cam, cfg, True, True, True)
+    import os
+
+    sel = os.environ.get("ABLATE", "all")
+    V = {
+        "full": ("full (A+B)", True, True, True, False),
+        "bf16": ("mxu-bf16 (A+B)", True, True, True, True),
+        "fwd": ("fwd-only", True, True, False, False),
+        "noexp": ("no-exp (A+B)", False, True, True, False),
+        "nomxu": ("no-mxu (A+B)", True, False, True, False),
+        "min": ("min (A+B)", False, False, True, False),
+    }
+    names = list(V) if sel == "all" else sel.split(",")
+    for nm in names:
+        label, de, dm, db, mf = V[nm]
+        try:
+            run_variant(label, packed, bins.counts, gt4, cam, cfg, de, dm, db,
+                        mxu_fast=mf)
+        except Exception as e:  # noqa: BLE001
+            print(f"{label:30s} CRASH: {type(e).__name__}", flush=True)
 
 
 if __name__ == "__main__":
