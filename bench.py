@@ -33,10 +33,15 @@ def _smoke_gate() -> bool | None:
     import sys
 
     here = os.path.dirname(os.path.abspath(__file__))
+    # The subprocess must be able to import gsorb_slam_tpu regardless of the
+    # caller's PYTHONPATH (a clobbered PYTHONPATH once turned an import error
+    # into a silent math_ok=false).
+    env = dict(os.environ)
+    env["PYTHONPATH"] = here + os.pathsep + env.get("PYTHONPATH", "")
     try:
         res = subprocess.run(
             [sys.executable, os.path.join(here, "scripts", "tpu_smoke.py")],
-            capture_output=True, text=True, timeout=2400, cwd=here,
+            capture_output=True, text=True, timeout=2400, cwd=here, env=env,
         )
     except Exception as e:  # timeout/crash = loud failure, not a silent skip
         print(f"# tpu_smoke gate ERROR: {e}", flush=True)
@@ -44,6 +49,9 @@ def _smoke_gate() -> bool | None:
     tail = (res.stdout or "").strip().splitlines()
     for line in tail[-20:]:
         print(f"# smoke: {line}", flush=True)
+    if res.returncode != 0:
+        for line in (res.stderr or "").strip().splitlines()[-10:]:
+            print(f"# smoke STDERR: {line}", flush=True)
     if "SKIP: no TPU backend" in res.stdout:
         return None
     return res.returncode == 0 and "TPU-SMOKE PASS" in res.stdout

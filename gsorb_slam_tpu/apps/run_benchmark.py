@@ -100,9 +100,19 @@ def main() -> None:
         lat.append(time.time() - tf)
         est.append(T)
         gt.append(fr.gt_T_cw)
-        if i % 10 == 0:
-            print(f"frame {i}/{len(ds)}  {lat[-1]:.2f}s "
-                  f"splats={int(sys_.gm.n_active())}", flush=True)
+        # Per-frame diagnostic line: instantaneous pose error vs GT,
+        # densify adds, live splat count (r2 verdict: find the VGA densify
+        # divergence empirically).
+        dR = T[:3, :3] @ fr.gt_T_cw[:3, :3].T
+        ang = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+        # camera-center error (what ATE measures)
+        c_est = -T[:3, :3].T @ T[:3, 3]
+        c_gt = -fr.gt_T_cw[:3, :3].T @ fr.gt_T_cw[:3, 3]
+        terr = float(np.linalg.norm(c_est - c_gt))
+        adds = sys_.densify_added[-1] if sys_.densify_added else 0
+        print(f"frame {i}/{len(ds)}  {lat[-1]:.2f}s "
+              f"splats={int(sys_.gm.n_active())} adds={adds} "
+              f"terr={terr*100:.2f}cm rerr={ang:.3f}deg", flush=True)
 
     rmse = float(ate_rmse(est, gt))
     summ = sys_.shutdown_summary()

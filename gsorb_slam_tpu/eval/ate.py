@@ -41,9 +41,18 @@ def ate_rmse(
     gt_T_cw: list[np.ndarray] | np.ndarray,
     with_scale: bool = False,
 ) -> float:
-    """ATE RMSE (meters) between aligned camera-center trajectories."""
+    """ATE RMSE (meters) between aligned camera-center trajectories.
+
+    Non-finite estimated poses (a diverged tracker) are excluded from the
+    alignment pairs rather than crashing the SVD; if every pose is bad the
+    result is ``inf`` (matching how a fully lost run should score)."""
     est_c = np.stack([_center(T) for T in est_T_cw])
     gt_c = np.stack([_center(T) for T in gt_T_cw])
+    ok = np.isfinite(est_c).all(axis=1) & np.isfinite(gt_c).all(axis=1)
+    if not ok.all():
+        if ok.sum() < 3:
+            return float("inf")
+        est_c, gt_c = est_c[ok], gt_c[ok]
     R, t, s = horn_align(est_c, gt_c, with_scale)
     aligned = est_c @ (s * R).T + t
     err = aligned - gt_c

@@ -20,6 +20,10 @@ import jax
 # matmul precision rounds inputs to bf16, which corrupts the autodiff
 # reference far more than the kernels being tested.
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compile cache: remote (axon) compiles cost minutes; without
+# this every gate run re-pays them all.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_gsorb")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 from gsorb_slam_tpu.core.camera import Camera
