@@ -88,9 +88,20 @@ def main(argv=None) -> int:
         "psnr": float(np.mean(psnrs)),
         "ssim": float(np.mean(ssims)),
         "depth_l1": float(np.mean(dl1s)),
-        "lpips": float(np.nanmean(lpipss)) if lpipss else float("nan"),
         "frames": len(psnrs),
     }
+    # LPIPS needs pretrained AlexNet weights; in a zero-egress environment
+    # they are unobtainable — report that explicitly instead of a silent NaN
+    # (r2 verdict). np.nanmean of all-NaN is also NaN -> same branch.
+    lp = float(np.nanmean(lpipss)) if lpipss else float("nan")
+    if args.lpips and np.isfinite(lp):
+        result["lpips"] = lp
+    elif args.lpips:
+        result["lpips"] = None
+        result["lpips_note"] = (
+            "unavailable: pretrained AlexNet weights not present "
+            "(zero-egress environment)"
+        )
     print(json.dumps(result))
     return 0
 

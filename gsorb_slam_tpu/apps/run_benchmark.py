@@ -37,6 +37,12 @@ def main() -> None:
     ap.add_argument("--out", default="experiments/tum_like")
     ap.add_argument("--eval-stride", type=int, default=1)
     ap.add_argument("--cache", default="/tmp/gsorb_bench_cache")
+    # Binning-freshness experiment knobs (tracking-gradient fidelity vs
+    # rebin cost; the reference re-sorts EVERY iteration).
+    ap.add_argument("--dilate", type=float, default=None,
+                    help="override RasterConfig.dilate_px")
+    ap.add_argument("--rebin-iters", type=int, nargs="*", default=None,
+                    help="override in-loop tracking rebin iterations")
     args = ap.parse_args()
 
     import jax
@@ -88,10 +94,21 @@ def main() -> None:
             num_iters=args.map_iters, init_iters=min(200, 4 * args.map_iters),
             max_gaussians=args.max_gaussians, madien_mul=10.0,
         ),
-        tracking=TrackingConfig(num_iters=args.track_iters),
+        tracking=TrackingConfig(
+            num_iters=args.track_iters,
+            **({"rebin_iters": tuple(args.rebin_iters)}
+               if args.rebin_iters is not None else {}),
+        ),
         debug=DebugConfig(use_loop=False),
     )
-    sys_ = System(cfg, max_keyframes=128, frontend=args.frontend)
+    raster = None
+    if args.dilate is not None:
+        import dataclasses as _dc
+
+        from gsorb_slam_tpu.slam.system import System as _S
+
+        raster = _dc.replace(_S.default_raster_config(), dilate_px=args.dilate)
+    sys_ = System(cfg, max_keyframes=128, frontend=args.frontend, raster=raster)
 
     est, gt, lat = [], [], []
     for i, fr in enumerate(ds):

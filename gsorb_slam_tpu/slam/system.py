@@ -80,6 +80,15 @@ class System:
     fallback when ORB fails (``src/Tracking.cc:339-350``).
     """
 
+    @staticmethod
+    def default_raster_config() -> RasterConfig:
+        """The production raster configuration (single source of truth for
+        apps/benchmarks that want to tweak one field of it)."""
+        return RasterConfig(
+            tile=16, tile_capacity=1024, max_dup=16, chunk=128, dilate_px=2.0,
+            exact_stop=False,
+        )
+
     def __init__(
         self,
         config: SystemConfig | str | dict,
@@ -137,10 +146,7 @@ class System:
         # dilate 4. chunk=128: the triangular cumsum/suffix matmuls cost
         # O(K) per pixel-instance pair, so at true-f32 precision K=128
         # halves the dominant FLOPs vs 256 (measured 10.6 vs 19.5 ms/iter).
-        self.rcfg = raster or RasterConfig(
-            tile=16, tile_capacity=1024, max_dup=16, chunk=128, dilate_px=2.0,
-            exact_stop=False,
-        )
+        self.rcfg = raster or System.default_raster_config()
         self.gm: GaussianMap = empty_map(self.cfg.mapping.max_gaussians)
         self.rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
