@@ -9,6 +9,7 @@ HISTO_LENGTH=30 (``src/ORBmatcher.cc:35-41``).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -315,3 +316,118 @@ def search_by_projection(
     d_best = jnp.take_along_axis(D, best[:, None], axis=1)[:, 0]
     valid = ok & (d_best <= max_dist)
     return MatchResult(idx2=jnp.where(valid, best, -1), dist=d_best, valid=valid)
+
+
+def _sim3_directional(
+    world: jnp.ndarray,  # [M, 3] map points of the SOURCE keyframe (by feature)
+    desc: jnp.ndarray,  # [M, 8] their representative descriptors
+    pvalid: jnp.ndarray,  # [M] bool (has point & not already matched)
+    min_d: jnp.ndarray,  # [M] scale-invariance min distance (raw)
+    max_d: jnp.ndarray,  # [M] scale-invariance max distance (raw; <=0 = no range)
+    feats: "ORBFeatures",  # target keyframe features
+    A_R: jnp.ndarray,  # [3, 3] scaled rotation of the world->target-camera map
+    A_t: jnp.ndarray,  # [3]
+    cam: Camera,
+    scale_factors: jnp.ndarray,  # [L]
+    th: float,
+    max_dist: int,
+) -> jnp.ndarray:
+    """One direction of ``SearchBySim3`` (``src/ORBmatcher.cc:1102-1226``):
+    transform source map points into the target camera through the
+    (scaled-rigid) composite ``A``, gate on depth / image bounds /
+    scale-invariance range in the TRANSFORMED frame (``dist3D =
+    |p3Dc2|``, exactly the reference), search a ``th * sf[pred]`` radius
+    restricted to octaves [pred-1, pred], and return the best-Hamming
+    feature index per point (-1 = none)."""
+    xc = jnp.matmul(world, A_R.T, precision=jax.lax.Precision.HIGHEST) + A_t
+    z = xc[:, 2]
+    ok = pvalid & (z > 0.0)
+    safe_z = jnp.where(z > 0.0, z, 1.0)
+    u = cam.fx * xc[:, 0] / safe_z + cam.cx
+    v = cam.fy * xc[:, 1] / safe_z + cam.cy
+    ok = ok & (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+    dist3d = jnp.linalg.norm(xc, axis=-1)
+    has_range = max_d > 0
+    ok = ok & (
+        ~has_range | ((dist3d >= 0.8 * min_d) & (dist3d <= 1.2 * max_d))
+    )
+    L = scale_factors.shape[0]
+    log_sf = jnp.log(scale_factors[min(1, L - 1)])
+    ratio = jnp.maximum(max_d, 1e-6) / jnp.maximum(dist3d, 1e-6)
+    pred = jnp.clip(
+        jnp.ceil(jnp.log(ratio) / jnp.maximum(log_sf, 1e-6)).astype(jnp.int32),
+        0, L - 1,
+    )
+    r_pt = jnp.where(has_range, th * scale_factors[pred], th * 4.0)
+    kp_oct = feats.octave[None, :]
+    oct_ok = (
+        ~has_range[:, None]
+        | ((kp_oct >= pred[:, None] - 1) & (kp_oct <= pred[:, None]))
+    )
+    du = u[:, None] - feats.uv[None, :, 0]
+    dv = v[:, None] - feats.uv[None, :, 1]
+    within = (du * du + dv * dv) <= (r_pt * r_pt)[:, None]
+    D = hamming_matrix(desc, feats.descriptors)
+    D = jnp.where(within & oct_ok & feats.valid[None, :] & ok[:, None], D, BIG)
+    best = jnp.argmin(D, axis=1)
+    d_best = jnp.take_along_axis(D, best[:, None], axis=1)[:, 0]
+    return jnp.where(ok & (d_best <= max_dist), best, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("th", "max_dist"))
+def search_by_sim3(
+    world1: jnp.ndarray,  # [N1, 3] KF1 per-FEATURE map points (zeros = none)
+    desc1: jnp.ndarray,  # [N1, 8]
+    valid1: jnp.ndarray,  # [N1] has-point & not already matched
+    min_d1: jnp.ndarray,  # [N1]
+    max_d1: jnp.ndarray,  # [N1]
+    feats1: "ORBFeatures",
+    world2: jnp.ndarray,  # [N2, 3] KF2 per-feature map points
+    desc2: jnp.ndarray,
+    valid2: jnp.ndarray,
+    min_d2: jnp.ndarray,
+    max_d2: jnp.ndarray,
+    feats2: "ORBFeatures",
+    T1_cw: jnp.ndarray,  # [4, 4]
+    T2_cw: jnp.ndarray,  # [4, 4]
+    s12: jnp.ndarray,  # [] scale of the cam1<-cam2 similarity
+    R12: jnp.ndarray,  # [3, 3]
+    t12: jnp.ndarray,  # [3]
+    cam: Camera,
+    scale_factors: jnp.ndarray,  # [L]
+    th: float = 7.5,
+    max_dist: int = TH_HIGH,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """``SearchBySim3`` (``src/ORBmatcher.cc:1102-1288``): grow the match
+    set between two loop keyframes using a Sim3 estimate. Both directions
+    are searched (KF1 points into KF2 through ``sR21``, KF2 points into KF1
+    through ``sR12``) and only MUTUAL agreements are kept
+    (``vnMatch1[i1]==idx2 && vnMatch2[idx2]==i1``, ``:1290-1308``).
+
+    Returns ``(match12 [N1] int32 feature index in KF2 or -1, n_new)``.
+    """
+    R1w, t1w = T1_cw[:3, :3], T1_cw[:3, 3]
+    R2w, t2w = T2_cw[:3, :3], T2_cw[:3, 3]
+    sR12 = s12 * R12
+    sR21 = (1.0 / s12) * R12.T
+    t21 = -jnp.matmul(sR21, t12)
+    # world -> cam2' (through cam1): sR21 (R1w x + t1w) + t21
+    A2_R = jnp.matmul(sR21, R1w, precision=jax.lax.Precision.HIGHEST)
+    A2_t = jnp.matmul(sR21, t1w) + t21
+    # world -> cam1' (through cam2): sR12 (R2w x + t2w) + t12
+    A1_R = jnp.matmul(sR12, R2w, precision=jax.lax.Precision.HIGHEST)
+    A1_t = jnp.matmul(sR12, t2w) + t12
+
+    m12 = _sim3_directional(
+        world1, desc1, valid1, min_d1, max_d1, feats2, A2_R, A2_t, cam,
+        scale_factors, th, max_dist,
+    )
+    m21 = _sim3_directional(
+        world2, desc2, valid2, min_d2, max_d2, feats1, A1_R, A1_t, cam,
+        scale_factors, th, max_dist,
+    )
+    # Mutual check.
+    j = jnp.maximum(m12, 0)
+    mutual = (m12 >= 0) & (m21[j] == jnp.arange(m12.shape[0]))
+    match12 = jnp.where(mutual, m12, -1)
+    return match12, jnp.sum(mutual)

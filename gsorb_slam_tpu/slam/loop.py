@@ -262,6 +262,56 @@ class LoopCloser:
             T1 = kf_query.T_cw
             T2 = kf_match.T_cw
             T12 = T1 @ np.linalg.inv(T_corr) @ np.linalg.inv(T2)
+
+            # SearchBySim3 (src/ORBmatcher.cc:1102): grow the match set with
+            # the Sim3 estimate before the reprojection refinement — project
+            # each side's unmatched map points into the other keyframe and
+            # keep mutual best-Hamming agreements.
+            from gsorb_slam_tpu.frontend.matcher import search_by_sim3
+
+            def _per_feature(kf):
+                pids = np.asarray(kf.point_ids)
+                hasp = (pids >= 0) & frontend.pt_valid[np.maximum(pids, 0)]
+                safe = np.maximum(pids, 0)
+                return (
+                    frontend.pt_pos[safe].astype(np.float32),
+                    frontend.pt_desc[safe],
+                    hasp,
+                    frontend.pt_min_dist[safe].astype(np.float32),
+                    frontend.pt_max_dist[safe].astype(np.float32),
+                )
+            w1, d1, h1, lo1, hi1 = _per_feature(kf_query)
+            w2, d2, h2, lo2, hi2 = _per_feature(kf_match)
+            h1[kp_pairs[:, 0]] = False  # already matched
+            h2[kp_pairs[:, 1]] = False
+            m12, n_new = search_by_sim3(
+                jnp.asarray(w1), jnp.asarray(d1), jnp.asarray(h1),
+                jnp.asarray(lo1), jnp.asarray(hi1), kf_query.feats,
+                jnp.asarray(w2), jnp.asarray(d2), jnp.asarray(h2),
+                jnp.asarray(lo2), jnp.asarray(hi2), kf_match.feats,
+                jnp.asarray(T1.astype(np.float32)),
+                jnp.asarray(T2.astype(np.float32)),
+                jnp.asarray(1.0, jnp.float32),
+                jnp.asarray(T12[:3, :3].astype(np.float32)),
+                jnp.asarray(T12[:3, 3].astype(np.float32)),
+                cam,
+                jnp.asarray(frontend.scale_factors, jnp.float32),
+            )
+            m12 = np.asarray(m12)
+            grown = np.nonzero(m12 >= 0)[0]
+            if debug:
+                print(f"    verify: SearchBySim3 grew {len(grown)} matches",
+                      flush=True)
+            if len(grown):
+                gp = np.stack([grown, m12[grown]], axis=1)
+                kp_pairs = np.concatenate([kp_pairs, gp])
+                gx1 = frontend.pt_pos[np.asarray(kf_query.point_ids)[gp[:, 0]]]
+                gx2 = frontend.pt_pos[np.asarray(kf_match.point_ids)[gp[:, 1]]]
+                x1 = np.concatenate([x1[:n], gx1.astype(np.float32)])
+                x2 = np.concatenate([x2[:n], gx2.astype(np.float32)])
+                inl = np.concatenate([inl, np.ones(len(grown), bool)])
+                n = n + len(grown)
+
             xc1 = x1[:n] @ T1[:3, :3].T + T1[:3, 3]  # query points, cam-1
             xc2 = x2[:n] @ T2[:3, :3].T + T2[:3, 3]  # match points, cam-2
             uv1 = np.asarray(kf_query.feats.uv)[kp_pairs[:, 0]]
