@@ -34,7 +34,7 @@ body { margin:0; background:#111; color:#ccc; font:13px monospace; }
 #hud { position:fixed; top:8px; left:8px; }
 canvas { display:block; margin:auto; }
 </style></head><body>
-<div id="hud">drag: orbit &nbsp; shift-drag: pan &nbsp; wheel: dolly &nbsp; R: reset</div>
+<div id="hud">drag: orbit &nbsp; shift-drag: pan &nbsp; wheel: dolly &nbsp; R: reset &nbsp; V: splats/map</div>
 <canvas id="c"></canvas>
 <script>
 const c = document.getElementById('c'), ctx = c.getContext('2d');
@@ -68,9 +68,13 @@ window.onmousemove = e => {
 };
 c.onwheel = e => { e.preventDefault();
   state.dist *= Math.exp(e.deltaY * 0.001); dirty = true; };
-window.onkeydown = e => { if (e.key == 'r' || e.key == 'R') {
-  state.yaw = 0; state.pitch = 0; state.pan_x = 0; state.pan_y = 0;
-  state.dist = state.dist0; dirty = true; } };
+window.onkeydown = e => {
+  if (e.key == 'r' || e.key == 'R') {
+    state.yaw = 0; state.pitch = 0; state.pan_x = 0; state.pan_y = 0;
+    state.dist = state.dist0; dirty = true; }
+  if (e.key == 'v' || e.key == 'V') {
+    state.mode = state.mode == 'map' ? 'splat' : 'map'; dirty = true; }
+};
 init();
 </script></body></html>"""
 
@@ -123,11 +127,16 @@ class ViewerServer:
     """Serves the interaction page and renders requested orbit states."""
 
     def __init__(self, render_fn, width: int, height: int,
-                 center: np.ndarray, dist0: float):
+                 center: np.ndarray, dist0: float, map_state_fn=None):
+        """``map_state_fn`` (optional): zero-arg callable returning a dict
+        with ``points`` [N,3] (+ optional ``active``, ``kf_T_cw`` list,
+        ``graph_edges``, ``cur_T_cw``, ``trajectory``) — enables the 'map'
+        view mode (live MapDrawer role: points + frusta + graph)."""
         self.render_fn = render_fn
+        self.map_state_fn = map_state_fn
         self.state0 = dict(
             width=width, height=height, yaw=0.0, pitch=0.0,
-            pan_x=0.0, pan_y=0.0, dist=dist0, dist0=dist0,
+            pan_x=0.0, pan_y=0.0, dist=dist0, dist0=dist0, mode="splat",
         )
         self.center = np.asarray(center, np.float64)
         self._lock = threading.Lock()
@@ -138,9 +147,65 @@ class ViewerServer:
             float(st.get("dist", self.state0["dist0"])),
             float(st.get("pan_x", 0.0)), float(st.get("pan_y", 0.0)),
         )
+        if st.get("mode") == "map" and self.map_state_fn is not None:
+            from gsorb_slam_tpu.utils.drawing import draw_map_3d
+
+            ms = self.map_state_fn()
+            img = draw_map_3d(
+                ms["points"], T_cw,
+                int(self.state0["width"]), int(self.state0["height"]),
+                active=ms.get("active"), kf_T_cw=ms.get("kf_T_cw"),
+                graph_edges=ms.get("graph_edges"),
+                cur_T_cw=ms.get("cur_T_cw"),
+                trajectory=ms.get("trajectory"),
+            ) / 255.0
+            return encode_jpeg(img)
         with self._lock:  # one render at a time (single device)
             img = self.render_fn(T_cw)
         return encode_jpeg(np.asarray(img))
+
+    @classmethod
+    def from_system(cls, system, scale: float = 1.0):
+        """Live in-run viewer over a running :class:`slam.system.System`
+        (the reference's Viewer thread attached to Tracking/Map): splat mode
+        free-view-renders the CURRENT map; map mode draws points + keyframe
+        frusta + spanning-tree/odometry graph + trajectory."""
+        cam = system.cam.scaled(scale) if scale != 1.0 else system.cam
+
+        def render_fn(T_cw):
+            return np.asarray(system.render_view(np.asarray(T_cw)).color)
+
+        def map_state_fn():
+            means = np.asarray(system.gm.means)
+            act = np.asarray(system.gm.active)
+            kfs = list(system.keyframes)
+            kf_T = [kf.T_cw for kf in kfs]
+            idx = {kf.kf_id: i for i, kf in enumerate(kfs)}
+            edges = []
+            for kf in kfs:
+                par = getattr(kf, "parent_id", -1)
+                if par >= 0 and par in idx:
+                    edges.append((idx[par], idx[kf.kf_id]))
+            edges.extend((i, i + 1) for i in range(len(kfs) - 1))
+            traj = np.stack(
+                [
+                    -r.T_cw[:3, :3].T @ r.T_cw[:3, 3]
+                    for r in list(system.trajectory)
+                ]
+            ) if system.trajectory else None
+            return dict(
+                points=means, active=act, kf_T_cw=kf_T, graph_edges=edges,
+                cur_T_cw=system.last_T_cw, trajectory=traj,
+            )
+
+        if int(np.sum(np.asarray(system.gm.active))) > 0:
+            pts = np.asarray(system.gm.means)[np.asarray(system.gm.active)]
+            center = pts.mean(axis=0)
+            dist0 = float(np.linalg.norm(pts - center, axis=1).mean()) * 2.0
+        else:
+            center, dist0 = np.zeros(3), 2.0
+        return cls(render_fn, cam.width, cam.height, center, dist0,
+                   map_state_fn=map_state_fn)
 
     def handler(self):
         server = self

@@ -184,3 +184,78 @@ def test_viewer_web_server_roundtrip(rng, tmp_path):
         T = orbit_pose(np.array([1.0, -0.5, 3.0]), yaw, pitch, 1.7)
         cc = T[:3, :3] @ [1.0, -0.5, 3.0] + T[:3, 3]
         np.testing.assert_allclose(cc, [0, 0, 1.7], atol=1e-5)
+
+
+def test_viewer_web_map_mode_and_live_system(rng):
+    """The 'map' view mode serves a 3D points+frusta+graph rendering over
+    HTTP, and ViewerServer.from_system attaches live to a running System
+    (the reference's in-run Pangolin map view, src/MapDrawer.cc)."""
+    import json
+    import threading
+    import urllib.request
+    from http.server import HTTPServer
+
+    import numpy as np
+
+    from gsorb_slam_tpu.apps.viewer_web import ViewerServer
+    from gsorb_slam_tpu.core.config import (
+        CameraConfig,
+        MappingConfig,
+        ORBConfig,
+        SystemConfig,
+        TrackingConfig,
+    )
+    from gsorb_slam_tpu.slam.system import System
+    from gsorb_slam_tpu.utils.drawing import draw_map_3d
+
+    # Pure drawing: points in front of an identity view produce non-empty
+    # pixels; keyframe frusta and the graph line are drawn.
+    pts = np.stack(
+        [rng.uniform(-0.5, 0.5, 200), rng.uniform(-0.5, 0.5, 200),
+         rng.uniform(1.0, 2.0, 200)], -1,
+    ).astype(np.float32)
+    kfA = np.eye(4, dtype=np.float32)
+    kfB = np.eye(4, dtype=np.float32)
+    kfB[0, 3] = -0.3
+    img = draw_map_3d(
+        pts, np.eye(4, dtype=np.float32), 96, 72,
+        kf_T_cw=[kfA, kfB], graph_edges=[(0, 1)],
+        cur_T_cw=kfB, trajectory=np.zeros((3, 3), np.float32),
+    )
+    assert img.shape == (72, 96, 3)
+    assert (img != 15).any()  # something was drawn over the background
+
+    # Live System attachment + HTTP round trip in map mode.
+    cam = CameraConfig(width=96, height=72, fx=80.0, fy=80.0, cx=48.0,
+                       cy=36.0, fps=30)
+    cfg = SystemConfig(
+        camera=cam, orb=ORBConfig(n_features=100),
+        mapping=MappingConfig(num_iters=2, init_iters=2,
+                              max_gaussians=1 << 12),
+        tracking=TrackingConfig(num_iters=2),
+    )
+    s = System(cfg, max_keyframes=4, frontend="render")
+    rgb = rng.uniform(0, 1, (72, 96, 3)).astype(np.float32)
+    depth = np.full((72, 96), 1.5, np.float32)
+    s.track_rgbd(rgb, depth, 0.0)
+    srv = ViewerServer.from_system(s)
+    assert srv.map_state_fn is not None
+    httpd = HTTPServer(("127.0.0.1", 0), srv.handler())
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        state = json.loads(
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/state", timeout=10
+            ).read()
+        )
+        assert state["mode"] == "splat"
+        state["mode"] = "map"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/render",
+            data=json.dumps(state).encode(), method="POST",
+        )
+        img_bytes = urllib.request.urlopen(req, timeout=30).read()
+        assert len(img_bytes) > 100
+    finally:
+        httpd.shutdown()
