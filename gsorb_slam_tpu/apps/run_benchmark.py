@@ -43,6 +43,9 @@ def main() -> None:
                     help="override RasterConfig.dilate_px")
     ap.add_argument("--rebin-iters", type=int, nargs="*", default=None,
                     help="override in-loop tracking rebin iterations")
+    ap.add_argument("--bucket-floor", type=int, default=0,
+                    help="floor for the live-splat program bucket (pay one "
+                         "compile generation when the final size is known)")
     args = ap.parse_args()
 
     import jax
@@ -109,6 +112,8 @@ def main() -> None:
 
         raster = _dc.replace(_S.default_raster_config(), dilate_px=args.dilate)
     sys_ = System(cfg, max_keyframes=128, frontend=args.frontend, raster=raster)
+    if args.bucket_floor:
+        sys_.prefix_bucket_floor = args.bucket_floor
 
     est, gt, lat = [], [], []
     for i, fr in enumerate(ds):

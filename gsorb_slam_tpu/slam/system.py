@@ -244,9 +244,15 @@ class System:
 
         def _prefix_bucket(gm) -> int:
             """Power-of-two bucket over the live prefix: render-path work
-            (sort, pack) scales with this, not the safety capacity."""
+            (sort, pack) scales with this, not the safety capacity.
+
+            ``self.prefix_bucket_floor`` raises the smallest bucket: every
+            bucket crossing recompiles the whole render-path program set
+            (minutes each through a remote-compile tunnel), so a run that
+            KNOWS it will reach N splats should floor the bucket there and
+            pay one compile generation instead of several."""
             n = int(gm.count)
-            b = 1 << 14
+            b = max(1 << 14, int(getattr(self, "prefix_bucket_floor", 0)))
             while b < n:
                 b *= 2
             return min(b, gm.capacity)
