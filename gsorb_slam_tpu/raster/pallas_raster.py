@@ -184,7 +184,14 @@ def _chunk_fast(chunk, tri_l, pbas, T_in, ox, oy, dims: _Dims):
     """Lean non-exact per-chunk math on the [K, px] slab (see the fast
     fused kernel's docstring for the deviation argument): no per-element
     power<=0 / done / STOP_T gates, T_out by row extraction. Returns
-    (alpha, apply-free weights w, T_pref, one_minus, T_out)."""
+    (alpha, apply-free weights w, T_pref, T_out).
+
+    Every full-slab [K, px] elementwise pass costs ~34 ns on v5e (32 vregs
+    x 1 op/cycle), which is what actually dominates this kernel (ablation:
+    transcendentals and MXU passes are each <10% of the time) — so this
+    function and its callers count passes. 1-alpha is never materialized
+    as a slab: T_out needs only its last row, and the crossing test uses
+    T_pref - w (== T_pref*(1-alpha))."""
     row = lambda r: chunk[r : r + 1, :]
     mu = row(_MU) - ox
     mv = row(_MV) - oy
@@ -209,9 +216,8 @@ def _chunk_fast(chunk, tri_l, pbas, T_in, ox, oy, dims: _Dims):
         cum_excl = _mm_split2_rev(tri_l, s)
     T_pref = T_in * jnp.exp(cum_excl)
     w = alpha * T_pref
-    one_minus = 1.0 - alpha
-    T_out = T_pref[K - 1 : K, :] * one_minus[K - 1 : K, :]
-    return alpha, w, T_pref, one_minus, T_out
+    T_out = T_pref[K - 1 : K, :] * (1.0 - alpha[K - 1 : K, :])
+    return alpha, w, T_pref, T_out
 
 
 def _chunk_common(chunk, tri_l, pbas, T_in, done, ox, oy, dims: _Dims):
@@ -695,15 +701,18 @@ def blend_and_untile(
 
 
 def _fused_track_kernel_exact(
-    counts_ref, packed_ref, gt_ref, grad_ref, loss_ref,
+    counts_ref, tids_ref, packed_ref, gt_ref, grad_ref, loss_ref,
     alpha_scr, tpref_scr, acc_ref, pbas_ref, tri_ref, utri_ref,
     *, dims: _Dims, im_w: float, depth_w: float, use_sur: bool,
 ):
     t = pl.program_id(0)
     count = counts_ref[t]
     px, K, U = dims.px, dims.K, dims.unroll
-    ox = ((t % dims.tx) * dims.ts).astype(jnp.float32)
-    oy = ((t // dims.tx) * dims.ts).astype(jnp.float32)
+    # tids maps the local row to its GLOBAL tile id (identity single-chip;
+    # a shard's strided tile subset under the mesh tracking path).
+    tg = tids_ref[t]
+    ox = ((tg % dims.tx) * dims.ts).astype(jnp.float32)
+    oy = ((tg // dims.tx) * dims.ts).astype(jnp.float32)
 
     @pl.when(t == 0)
     def _():
@@ -877,8 +886,8 @@ def _fused_track_kernel_exact(
 
 
 def _fused_track_kernel_fast(
-    counts_ref, packed_ref, gt_ref, grad_ref, loss_ref,
-    alpha_scr, tpref_scr, acc_ref, pbas_ref, tri_ref, utri_ref, st_ref,
+    counts_ref, tids_ref, packed_ref, gt_ref, grad_ref, loss_ref,
+    alpha_scr, w_scr, acc_ref, pbas_ref, tri_ref, utri_ref, st_ref,
     *, dims: _Dims, im_w: float, depth_w: float, use_sur: bool, B: int,
 ):
     """Lean fast-path fused tracking iteration, B tiles per grid step.
@@ -927,8 +936,9 @@ def _fused_track_kernel_fast(
     for b in range(B):
         t = pid * B + b
         count = counts_ref[t]
-        ox = ((t % dims.tx) * dims.ts).astype(jnp.float32)
-        oy = ((t // dims.tx) * dims.ts).astype(jnp.float32)
+        tg = tids_ref[t]  # global tile id (identity unless mesh-sharded)
+        ox = ((tg % dims.tx) * dims.ts).astype(jnp.float32)
+        oy = ((tg // dims.tx) * dims.ts).astype(jnp.float32)
 
         acc_ref[...] = jnp.zeros((8, px), jnp.float32)
         acc_ref[6, :] = jnp.ones((px,), jnp.float32)
@@ -946,20 +956,20 @@ def _fused_track_kernel_fast(
             chunk = packed_ref[b, :, pl.ds(c * K, K)]
             row = lambda r: chunk[r : r + 1, :]
             z = row(_Z)
-            alpha, w, T_pref, one_minus, T_out = _chunk_fast(
+            alpha, w, T_pref, T_out = _chunk_fast(
                 chunk, tri_ref[...], pbas_ref[...], T, ox, oy, dims
             )
             alpha_scr[pl.ds(c * K, K), :] = alpha
-            tpref_scr[pl.ds(c * K, K), :] = T_pref
+            w_scr[pl.ds(c * K, K), :] = w
             ones = jnp.ones((1, K), jnp.float32)
             A5 = jnp.concatenate(
                 [row(_R), row(_G), row(_B), z, ones], 0
             )
             accum = _mm(A5, w)  # [5, px]
-            # crossing median (self-masking: alpha=0 => no cross)
-            cross = ((T_pref > 0.5) & (T_pref * one_minus <= 0.5)).astype(
-                jnp.float32
-            )
+            # crossing median (self-masking: alpha=0 => T_next == T_pref, no
+            # cross); T_next = T_pref*(1-alpha) reuses w instead of a 1-alpha
+            # slab
+            cross = ((T_pref > 0.5) & (T_pref - w <= 0.5)).astype(jnp.float32)
             z_sel = _mm(z, cross)  # [1, px]
             acc_ref[0:5, :] = acc_ref[0:5, :] + accum
             acc_ref[5:6, :] = acc_ref[5:6, :] + z_sel
@@ -1016,8 +1026,7 @@ def _fused_track_kernel_fast(
         def chunk_grad(c):
             R = acc_ref[7:8, :]
             alpha_a = alpha_scr[pl.ds(c * K, K), :]
-            T_pref = tpref_scr[pl.ds(c * K, K), :]
-            w = alpha_a * T_pref
+            w = w_scr[pl.ds(c * K, K), :]
             chunk = packed_ref[b, :, pl.ds(c * K, K)]
             row = lambda r: chunk[r : r + 1, :]
             ones = jnp.ones((1, K), jnp.float32)
@@ -1031,10 +1040,13 @@ def _fused_track_kernel_fast(
                 suffix = _mm(utri_ref[...], wphi.astype(jnp.bfloat16)) + R
             else:
                 suffix = _mm_split2_rev(utri_ref[...], wphi) + R
-            # alpha <= 0.99 => 1-alpha >= 0.01: no epsilon guard needed.
-            d_alpha = T_pref * phi - suffix / (1.0 - alpha_a)
-            live = (alpha_a > 0.0) & (alpha_a < 0.99)
-            d_power = jnp.where(live, d_alpha, 0.0) * alpha_a
+            # d_power = alpha*d_alpha = alpha*T_pref*phi - alpha*suffix/(1-a)
+            #         = w*phi - (alpha/(1-alpha))*suffix.
+            # alpha == 0 self-masks (w == 0, ratio == 0); only the clamp
+            # gate alpha < 0.99 needs an explicit where. alpha <= 0.99 =>
+            # 1-alpha >= 0.01: no epsilon guard needed for the division.
+            ratio = alpha_a / (1.0 - alpha_a)
+            d_power = jnp.where(alpha_a < 0.99, wphi - ratio * suffix, 0.0)
             Srows = _dgT_split2(pbas_ref[...], d_power)
             WGrows = jax.lax.dot_general(
                 G5, w, (((1,), (1,)), ((), ())),
@@ -1088,12 +1100,18 @@ def tracking_loss_grad(
     depth_weight: float,
     use_sur_depth: bool,
     interpret: bool | None = None,
+    tile_ids: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One fused launch -> (image_l1*im_w, depth_l1*depth_w, d_packed).
 
     The loss is the masked-SUM tracking mix of ``RenderStartTraking``
     (``src/Render.cc:1075-1096``) WITHOUT the feature chi^2 term (tiny,
     handled in XLA by the caller).
+
+    ``tile_ids`` maps each row of ``packed``/``gt_tiles`` to its GLOBAL
+    tile id (for tile origins). Defaults to identity; the mesh tracking
+    path (parallel/tracking.py) passes each shard's strided tile subset so
+    ``packed.shape[0]`` can be a fraction of the camera's tile grid.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1101,7 +1119,10 @@ def tracking_loss_grad(
     dims = _dims_for(cam, cfg, cap)
     if not interpret:
         assert dims.K % 128 == 0, "chunk must be a multiple of 128 on TPU"
-    T = dims.n_tiles
+    T = packed.shape[0]
+    if tile_ids is None:
+        tile_ids = jnp.arange(T, dtype=jnp.int32)
+    tile_ids = tile_ids.astype(jnp.int32)
 
     if dims.exact:
         # CUDA-exact early-stop semantics: single-tile grid, full gating.
@@ -1111,7 +1132,7 @@ def tracking_loss_grad(
                 depth_w=float(depth_weight), use_sur=bool(use_sur_depth),
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
+                num_scalar_prefetch=2,
                 grid=(T,),
                 in_specs=[
                     pl.BlockSpec(
@@ -1147,7 +1168,7 @@ def tracking_loss_grad(
                 jax.ShapeDtypeStruct((T, 1, dims.px), jnp.float32),
             ],
             interpret=interpret,
-        )(counts, packed, gt_tiles)
+        )(counts, tile_ids, packed, gt_tiles)
         image_l1 = jnp.sum(loss[:, 0, 0])
         depth_l1 = jnp.sum(loss[:, 0, 1])
         return image_l1, depth_l1, grads
@@ -1159,13 +1180,14 @@ def tracking_loss_grad(
         packed = jnp.pad(packed, ((0, Tp - T), (0, 0), (0, 0)))
         gt_tiles = jnp.pad(gt_tiles, ((0, Tp - T), (0, 0), (0, 0)))
         counts = jnp.pad(counts, (0, Tp - T))
+        tile_ids = jnp.pad(tile_ids, (0, Tp - T))
     grads, loss = pl.pallas_call(
         functools.partial(
             _fused_track_kernel_fast, dims=dims, im_w=float(im_weight),
             depth_w=float(depth_weight), use_sur=bool(use_sur_depth), B=B,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(Tp // B,),
             in_specs=[
                 pl.BlockSpec(
@@ -1189,7 +1211,7 @@ def tracking_loss_grad(
             ],
             scratch_shapes=[
                 pltpu.VMEM((cap, dims.px), jnp.float32),  # alpha
-                pltpu.VMEM((cap, dims.px), jnp.float32),  # prefix T
+                pltpu.VMEM((cap, dims.px), jnp.float32),  # w = alpha*T_pref
                 pltpu.VMEM((8, dims.px), jnp.float32),  # accumulators
                 pltpu.VMEM((8, dims.px), jnp.bfloat16),  # pixel basis
                 pltpu.VMEM((dims.K, dims.K), jnp.bfloat16),
@@ -1202,7 +1224,7 @@ def tracking_loss_grad(
             jax.ShapeDtypeStruct((Tp, 1, dims.px), jnp.float32),
         ],
         interpret=interpret,
-    )(counts, packed, gt_tiles)
+    )(counts, tile_ids, packed, gt_tiles)
     image_l1 = jnp.sum(loss[:, 0, 0])
     depth_l1 = jnp.sum(loss[:, 0, 1])
     return image_l1, depth_l1, grads[:T]
@@ -1334,7 +1356,7 @@ def _flat_fwd_kernel(
             )
             is_med = apply & (T_pref > 0.5)
         else:
-            alpha, w, T_pref, _one_minus, T_out = _chunk_fast(
+            alpha, w, T_pref, T_out = _chunk_fast(
                 chunk, tri_ref[...], pbas_ref[...], T, ox, oy, dims
             )
             done_out = T_out < STOP_T
@@ -1408,7 +1430,7 @@ def _flat_bwd_kernel(
             gate = apply
             gate_pow = apply & unclamped
         else:
-            alpha, w, T_pref, _om, _T_out = _chunk_fast(
+            alpha, w, T_pref, _T_out = _chunk_fast(
                 chunk, tri_ref[...], pbas_ref[...], T_in, ox, oy, dims
             )
             # done pixels carry T_in = 0: their suffix still holds the
@@ -1427,9 +1449,11 @@ def _flat_bwd_kernel(
             suffix = _mm(utri_ref[...], wphi.astype(jnp.bfloat16)) + r_ref[...]
         else:
             suffix = _mm_split2_rev(utri_ref[...], wphi) + r_ref[...]
-        one_minus = jnp.maximum(1.0 - alpha, 1e-6)
-        d_alpha = jnp.where(gate, T_pref * phi - suffix / one_minus, 0.0)
-        d_power = jnp.where(gate_pow, d_alpha, 0.0) * alpha
+        # gate_pow subsumes gate, so one where suffices; same algebra as the
+        # fused fast kernel: alpha*d_alpha = w*phi - (alpha/(1-alpha))*suffix
+        # (w is already apply-gated on the exact path, self-masking on fast).
+        ratio = alpha / jnp.maximum(1.0 - alpha, 1e-6)
+        d_power = jnp.where(gate_pow, wphi - ratio * suffix, 0.0)
         Srows = _dgT_split2(pbas_ref[...], d_power)
         WGrows = jax.lax.dot_general(
             G5, w, (((1,), (1,)), ((), ())),

@@ -390,8 +390,10 @@ class TUMLikeDataset(RGBDDataset):
         self.poses = []
         self.frames = []
         jitter = rng.normal(0, 1, (n_frames, 6)).astype(np.float32)
-        # smooth the jitter (handheld shake is low-frequency)
-        k = np.ones(7) / 7.0
+        # smooth the jitter (handheld shake is low-frequency); kernel no
+        # longer than the sequence (np.convolve 'same' requires it)
+        kw = min(7, n_frames)
+        k = np.ones(kw) / kw
         for c in range(6):
             jitter[:, c] = np.convolve(jitter[:, c], k, mode="same")
         for i in range(n_frames):

@@ -285,13 +285,34 @@ class System:
         def _render_auto(gm, T_cw, bins):
             return _render_inner(gm, T_cw, bins, _prefix_bucket(gm))
 
-        def _track(gm, T_init, color, depth, matches, bins, n_iters, prefix):
-            gm = prefix_view(gm, prefix)
-            return T.track_frame(
-                gm, T_init, color, depth, matches, cam, tcfg, rcfg,
-                num_iters=n_iters, bins=bins,
-                scale_modifier=mcfg.scale_modifier,
-            )
+        if self.mesh is not None:
+            # Tile-sharded tracking over the mesh (parallel/tracking.py):
+            # instance pack + gt tiles sharded by tile strip, one 7-dof
+            # pose-gradient psum per iteration. Bins are rebuilt inside
+            # (the sharded pack must be laid out per segment anyway).
+            from gsorb_slam_tpu.parallel.tracking import parallel_track_frame
+
+            mesh_ = self.mesh
+
+            def _track(gm, T_init, color, depth, matches, bins, n_iters,
+                       prefix):
+                del bins
+                gm = prefix_view(gm, prefix)
+                return parallel_track_frame(
+                    gm, T_init, color, depth, matches, cam, tcfg, rcfg,
+                    mesh_, num_iters=n_iters,
+                    scale_modifier=mcfg.scale_modifier,
+                )
+        else:
+
+            def _track(gm, T_init, color, depth, matches, bins, n_iters,
+                       prefix):
+                gm = prefix_view(gm, prefix)
+                return T.track_frame(
+                    gm, T_init, color, depth, matches, cam, tcfg, rcfg,
+                    num_iters=n_iters, bins=bins,
+                    scale_modifier=mcfg.scale_modifier,
+                )
 
         _track_inner = jax.jit(_track, static_argnames=("n_iters", "prefix"))
 

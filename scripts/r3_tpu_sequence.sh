@@ -1,0 +1,26 @@
+#!/bin/bash
+# Round-3 TPU work sequence: math gate -> headline bench -> VGA e2e rerun.
+# Run UNBOUNDED (first VGA compile generation can take tens of minutes;
+# killing a client mid-remote-compile wedges the axon relay — see PLAN.md).
+set -u
+export PYTHONPATH=/root/.axon_site:/root/repo
+export JAX_PLATFORMS=axon
+cd /root/repo
+
+echo "=== [1/3] tpu_smoke math gate ==="
+python scripts/tpu_smoke.py 2>&1 | tail -15
+if [ "${PIPESTATUS[0]}" != "0" ]; then
+  echo "SMOKE FAILED — aborting sequence"
+  exit 1
+fi
+
+echo "=== [2/3] bench.py ==="
+python bench.py 2>&1 | tail -25
+
+echo "=== [3/3] VGA e2e (200/100 iters, dilate 4, rebin 8/40/120) ==="
+python -m gsorb_slam_tpu.apps.run_benchmark \
+  --frames 60 --track-iters 200 --map-iters 100 \
+  --dilate 4 --rebin-iters 8 40 120 \
+  --bucket-floor 524288 \
+  --out experiments/tum_like_vga_r3 2>&1
+echo "=== sequence done ==="

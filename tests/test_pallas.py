@@ -354,3 +354,51 @@ def test_flat_chunk_blend_with_background(rng):
     np.testing.assert_allclose(
         np.asarray(g_flat), np.asarray(g_ref), atol=2e-4, rtol=2e-3
     )
+
+
+@pytest.mark.parametrize("exact", [True, False])
+def test_fused_tracking_tile_ids_sharding(rng, exact):
+    """Strided tile subsets (the mesh tracking layout) must reproduce the
+    identity run: per-tile grads row-for-row, and shard losses summing to
+    the full loss. This is the invariant parallel/tracking.py relies on."""
+    from gsorb_slam_tpu.raster.pallas_raster import (
+        _pack_instances,
+        tile_gt_images,
+        tracking_loss_grad,
+    )
+
+    cfg = RasterConfig(tile=16, tile_capacity=256, max_dup=16, chunk=64,
+                       exact_stop=exact, fused_tiles_per_step=2)
+    cam = tiny_camera()
+    scene = random_cloud_scene(rng, n=300, capacity=384)
+    prep = _prep(scene, cam)
+    bins = bin_gaussians(prep, cam, cfg)
+    packed = _pack_instances(prep, bins)
+    T = packed.shape[0]
+
+    gt_color = jnp.asarray(rng.uniform(size=(cam.height, cam.width, 3)),
+                           jnp.float32)
+    gt_depth = jnp.asarray(rng.uniform(1.0, 3.0, size=(cam.height, cam.width)),
+                           jnp.float32)
+    gt4 = tile_gt_images(gt_color, gt_depth, cam, cfg)
+
+    img_full, dep_full, g_full = tracking_loss_grad(
+        packed, bins.counts, gt4, cam, cfg, 0.9, 0.3, True, interpret=True,
+    )
+
+    n_shards = 2
+    img_sum, dep_sum = 0.0, 0.0
+    for s in range(n_shards):
+        ids = jnp.arange(s, T, n_shards, dtype=jnp.int32)
+        img_s, dep_s, g_s = tracking_loss_grad(
+            packed[ids], bins.counts[ids], gt4[ids], cam, cfg,
+            0.9, 0.3, True, interpret=True, tile_ids=ids,
+        )
+        img_sum += float(img_s)
+        dep_sum += float(dep_s)
+        np.testing.assert_allclose(
+            np.asarray(g_s), np.asarray(g_full[ids]), rtol=1e-5, atol=1e-7,
+            err_msg=f"shard {s}",
+        )
+    np.testing.assert_allclose(img_sum, float(img_full), rtol=1e-5)
+    np.testing.assert_allclose(dep_sum, float(dep_full), rtol=1e-5)
