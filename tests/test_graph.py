@@ -129,6 +129,72 @@ def test_pose_graph_closes_loop(rng):
     assert err_after < 0.5 * err_before, (err_before, err_after)
 
 
+def test_pose_graph_multi_loop(rng):
+    """Two nested loops on a figure-eight-like chain: the essential graph
+    must use BOTH loop edges to pull the whole drifted chain back — a
+    sequential-only edge set distorts here because correcting the second
+    loop re-breaks the first (``src/Optimizer.cc:782-1045`` consumes the
+    spanning tree + all loop edges for exactly this reason)."""
+    K = 30
+    poses_gt = []
+    T = np.eye(4, dtype=np.float32)
+    for k in range(K):
+        poses_gt.append(T.copy())
+        # two circles: yaw rate flips sign halfway -> the chain revisits
+        # node 0's neighbourhood at k=15 and again at k=29
+        yaw = 2 * np.pi / 15 * (1.0 if k < 15 else -1.0)
+        step = np.asarray(se3_exp(jnp.asarray([0.2, 0, 0, 0, yaw, 0], jnp.float32)))
+        T = step @ T
+    poses_gt = np.stack(poses_gt)
+
+    poses_drift = [poses_gt[0]]
+    for k in range(1, K):
+        rel_gt = poses_gt[k] @ np.linalg.inv(poses_gt[k - 1])
+        noise = np.asarray(
+            se3_exp(jnp.asarray([0.015, 0.005, 0, 0, 0.008, 0], jnp.float32))
+        )
+        poses_drift.append(noise @ rel_gt @ poses_drift[-1])
+    poses_drift = np.stack(poses_drift).astype(np.float32)
+
+    edges_i = list(range(K - 1))
+    edges_j = list(range(1, K))
+    rels = [poses_drift[a] @ np.linalg.inv(poses_drift[a + 1]) for a in range(K - 1)]
+    w = [1.0] * (K - 1)
+    # loop edges with TRUE relative poses: 15<->0 and 29<->0
+    for a, b in [(15, 0), (K - 1, 0)]:
+        edges_i.append(a)
+        edges_j.append(b)
+        rels.append(poses_gt[a] @ np.linalg.inv(poses_gt[b]))
+        w.append(5.0)
+    fixed = np.zeros(K, bool)
+    fixed[0] = True
+
+    out = np.asarray(
+        pose_graph_optimization(
+            jnp.asarray(poses_drift),
+            jnp.asarray(np.asarray(edges_i, np.int32)),
+            jnp.asarray(np.asarray(edges_j, np.int32)),
+            jnp.asarray(np.stack(rels).astype(np.float32)),
+            jnp.asarray(np.asarray(w, np.float32)),
+            jnp.asarray(fixed), iters=150,
+        )
+    )
+    # BOTH loop keyframes must land near GT; mid-chain nodes only smooth
+    # (their odometry edges still carry the drift bias — same as g2o), so
+    # require improvement, not a snap.
+    def err(node, P):
+        return np.linalg.norm(P[node][:3, 3] - poses_gt[node][:3, 3])
+
+    for node in (15, K - 1):
+        assert err(node, out) < 0.5 * err(node, poses_drift), node
+    for node in (8, 22):
+        assert err(node, out) < err(node, poses_drift), node
+    # and total chain error must drop substantially
+    tot_before = sum(err(k, poses_drift) for k in range(K))
+    tot_after = sum(err(k, out) for k in range(K))
+    assert tot_after < 0.6 * tot_before, (tot_before, tot_after)
+
+
 def _textured(rng, h=120, w=160, n=60):
     img = np.zeros((h, w), np.float32)
     for _ in range(n):
