@@ -242,3 +242,63 @@ def test_window_selection_basic(rng):
     assert len(set(sel.kf_ids)) == len(sel.kf_ids)  # no duplicates
     assert 6 in sel.kf_ids  # BA-touched keyframe included
     assert kfs[6].rendered_num == 0  # counter reset on use
+
+
+@pytest.mark.slow
+def test_tracking_recovers_large_drift():
+    """Production tracking budget (200 iters, dilate 4, rebins 8/40/120)
+    must recover a ~13px initial pose error on a structured scene — the
+    r2 VGA-collapse regression: with stale bins (dilate 2, rebin@16 only)
+    the 200-iter pose walk leaves binning validity and stalls at ~50%
+    residual; the production cadence converges to <10%."""
+    import jax.numpy as jnp
+
+    from gsorb_slam_tpu.core.config import MappingConfig, TrackingConfig
+    from gsorb_slam_tpu.core.transforms import se3_exp
+    from gsorb_slam_tpu.raster.binning import bin_gaussians
+    from gsorb_slam_tpu.raster.preprocess import preprocess
+    from gsorb_slam_tpu.raster.tiled import render_tiled
+    from gsorb_slam_tpu.slam.mapping import seed_from_frame
+    from gsorb_slam_tpu.slam.tracking import FeatureMatches, track_frame
+    from gsorb_slam_tpu.splat.gaussians import empty_map
+
+    cam = Camera(fx=180.0, fy=180.0, cx=64.0, cy=48.0, width=128, height=96)
+    mcfg = MappingConfig(max_gaussians=16384)
+    rng = np.random.default_rng(4)
+    H, W = 96, 128
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    col = np.stack([xx / W, yy / H, 0.5 + 0.3 * np.sin(xx / 9) * np.cos(yy / 7)], -1)
+    for _ in range(25):
+        cy_, cx_ = rng.uniform(0, H), rng.uniform(0, W)
+        s = rng.uniform(4, 10)
+        col[..., rng.integers(0, 3)] += rng.uniform(-0.5, 0.5) * np.exp(
+            -(((yy - cy_) ** 2 + (xx - cx_) ** 2) / (2 * s * s))
+        )
+    color0 = jnp.asarray(np.clip(col, 0, 1).astype(np.float32))
+    depth0 = jnp.asarray(
+        (1.8 + 0.3 * np.sin(xx / 25) + 0.2 * np.cos(yy / 20)).astype(np.float32)
+    )
+    T_id = jnp.eye(4, dtype=jnp.float32)
+    gm = empty_map(mcfg.max_gaussians)
+    gm = seed_from_frame(gm, color0, depth0, T_id, cam, mcfg)
+
+    xi = jnp.asarray([0.07, -0.03, 0.0, 0.0, 0.03, 0.0], jnp.float32)  # ~13px
+    T_gt = se3_exp(xi) @ T_id
+    rc0 = RasterConfig(tile=16, tile_capacity=512, max_dup=16, chunk=64)
+    p = preprocess(gm.means, gm.rgb, gm.quats, gm.logit_opacities, gm.log_scales,
+                   gm.active, T_gt, cam)
+    out = render_tiled(p, bin_gaussians(p, cam, rc0), cam, rc0)
+    gt_c = out.color
+    gt_d = jnp.where(out.alpha > 0.5, out.median_depth, 0.0)
+
+    rc = RasterConfig(tile=16, tile_capacity=512, max_dup=16, chunk=64,
+                      dilate_px=4.0, backend="pallas", exact_stop=False,
+                      fused_tiles_per_step=2)
+    tc = TrackingConfig(num_iters=200, early_stop_delta=0.0)
+    res = jax.jit(
+        lambda: track_frame(gm, T_id, gt_c, gt_d, FeatureMatches.empty(),
+                            cam, tc, rc, rebin_iters=(8, 40, 120))
+    )()
+    err0 = float(jnp.abs(T_gt - T_id).max())
+    err = float(jnp.abs(T_gt - res.T_cw).max())
+    assert err < 0.10 * err0, (err0, err)
