@@ -111,9 +111,23 @@ class TrackingConfig:
     overlap_threshold: float = 0.87  # new-KF overlap gate (src/Tracking.cc:1373)
     # In-loop rebinning iterations: rebuild tile bins at the current pose at
     # these iterations so a small dilate_px covers the remaining drift (the
-    # reference re-sorts every rasterization). One early rebin after the
-    # bulk of the pose correction is usually enough.
-    rebin_iters: tuple = (16,)
+    # reference re-sorts every rasterization). None = derive from num_iters
+    # via default_rebin_iters(): long budgets NEED mid-run refreshes — with
+    # one rebin@16 a 200-iter pose walk leaves binning validity and stalls
+    # at ~50% residual error (measured, PLAN.md round-3 drift experiment);
+    # (8, 40, 120) converges to 2.4%.
+    rebin_iters: tuple | None = None
+
+
+def default_rebin_iters(num_iters: int) -> tuple:
+    """Rebin cadence for a tracking budget: one early rebin after the bulk
+    of the correction for short budgets, geometric refreshes for long ones
+    (each rebin costs ~2% of a 200-iter frame; staleness costs convergence)."""
+    if num_iters <= 60:
+        return (16,)
+    if num_iters <= 120:
+        return (8, 40)
+    return (8, 40, 120)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from gsorb_slam_tpu.core.camera import Camera
-from gsorb_slam_tpu.core.config import TrackingConfig
+from gsorb_slam_tpu.core.config import TrackingConfig, default_rebin_iters
 from gsorb_slam_tpu.core.transforms import matrix_to_pose, pose_to_matrix
 from gsorb_slam_tpu.parallel.mesh import VIEW_AXIS, Mesh
 from gsorb_slam_tpu.raster.binning import TileBins, bin_gaussians
@@ -91,7 +91,9 @@ def parallel_track_frame(
     """
     num_iters = int(num_iters or tcfg.num_iters)
     if rebin_iters is None:
-        rebin_iters = tuple(getattr(tcfg, "rebin_iters", ()) or ())
+        rebin_iters = getattr(tcfg, "rebin_iters", None)
+    if rebin_iters is None:  # budget-adaptive default (see config.py)
+        rebin_iters = default_rebin_iters(num_iters)
     rebin_iters = tuple(r for r in rebin_iters if 0 < r < num_iters)
     n_dev = mesh.shape[VIEW_AXIS]
 

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from gsorb_slam_tpu.core.camera import Camera
-from gsorb_slam_tpu.core.config import TrackingConfig
+from gsorb_slam_tpu.core.config import TrackingConfig, default_rebin_iters
 from gsorb_slam_tpu.core.transforms import matrix_to_pose, pose_to_matrix
 from gsorb_slam_tpu.ops.losses import l1_tracking
 from gsorb_slam_tpu.raster.binning import TileBins, bin_gaussians
@@ -127,7 +127,9 @@ def track_frame(
     """
     num_iters = int(num_iters or tcfg.num_iters)
     if rebin_iters is None:
-        rebin_iters = tuple(getattr(tcfg, "rebin_iters", ()) or ())
+        rebin_iters = getattr(tcfg, "rebin_iters", None)
+    if rebin_iters is None:  # budget-adaptive default (see config.py)
+        rebin_iters = default_rebin_iters(num_iters)
     rebin_iters = tuple(r for r in rebin_iters if 0 < r < num_iters)
     quat0, trans0 = matrix_to_pose(T_cw_init)
     ps0 = init_pose_state(quat0, trans0)
