@@ -164,6 +164,42 @@ def main() -> int:
         print(f"[{s2}] exact={int(exact)} fused POSE grad rel-err: quat {rq:.2e} "
               f"trans {rt:.2e}", flush=True)
 
+        # strided tile_ids (the mesh tracking layout), compiled: shard rows
+        # must reproduce the identity run row-for-row and shard losses must
+        # sum to the full loss — guards the scalar-prefetch indexing at the
+        # Mosaic level (the CPU suite only checks it in interpret mode).
+        img_f, dep_f, g_full = jax.jit(
+            lambda p: tracking_loss_grad(
+                p, bins.counts, gt4, cam, rcfg, 0.7, 1.0, False,
+                interpret=False,
+            )
+        )(packed)
+        n_rows = packed.shape[0]
+        shard_sum = 0.0
+        shard_ok = True
+        for s in range(2):
+            ids = jnp.arange(s, n_rows, 2, dtype=jnp.int32)
+            img_s, dep_s, g_s = jax.jit(
+                lambda p, c, g, i: tracking_loss_grad(
+                    p, c, g, cam, rcfg, 0.7, 1.0, False, interpret=False,
+                    tile_ids=i,
+                )
+            )(packed[ids], bins.counts[ids], gt4[ids], ids)
+            shard_sum += float(img_s + dep_s)
+            dg = float(jnp.max(jnp.abs(g_s - g_full[ids])))
+            if dg > 1e-4:
+                shard_ok = False
+            print(f"[{'ok ' if dg <= 1e-4 else 'FAIL'}] exact={int(exact)} "
+                  f"tile_ids shard {s} grad max-abs-diff: {dg:.2e}", flush=True)
+        dsum = abs(shard_sum - float(img_f + dep_f)) / max(
+            abs(float(img_f + dep_f)), 1.0
+        )
+        if dsum > 1e-4:
+            shard_ok = False
+        print(f"[{'ok ' if dsum <= 1e-4 else 'FAIL'}] exact={int(exact)} "
+              f"tile_ids shard loss-sum rel-err: {dsum:.2e}", flush=True)
+        ok = ok and shard_ok
+
         # flat-chunk mapping path, compiled
         from gsorb_slam_tpu.raster.binning import chunk_layout, tile_grid_shape
         from gsorb_slam_tpu.raster.pallas_raster import render_pallas_flat
