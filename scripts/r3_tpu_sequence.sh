@@ -17,10 +17,18 @@ fi
 echo "=== [2/3] bench.py ==="
 python bench.py 2>&1 | tail -25
 
-echo "=== [3/3] VGA e2e (200/100 iters, dilate 4, rebin 8/40/120) ==="
+echo "=== [3/4] VGA e2e (200/100 iters, dilate 4, rebin 8/40/120) ==="
 python -m gsorb_slam_tpu.apps.run_benchmark \
   --frames 60 --track-iters 200 --map-iters 100 \
   --dilate 4 --rebin-iters 8 40 120 \
   --bucket-floor 524288 \
   --out experiments/tum_like_vga_r3 2>&1
+
+echo "=== [4/4] QVGA e2e at the reference budget (200/100 iters) ==="
+python -m gsorb_slam_tpu.apps.run_benchmark \
+  --frames 40 --width 320 --height 240 \
+  --track-iters 200 --map-iters 100 \
+  --dilate 4 \
+  --bucket-floor 131072 \
+  --out experiments/tum_like_qvga_r3 2>&1
 echo "=== sequence done ==="

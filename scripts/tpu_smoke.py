@@ -164,6 +164,41 @@ def main() -> int:
         print(f"[{s2}] exact={int(exact)} fused POSE grad rel-err: quat {rq:.2e} "
               f"trans {rt:.2e}", flush=True)
 
+        if not exact:
+            # blend_bf16 fast mode: the cumsum/suffix matmuls run in bf16
+            # (operands are O(1) log-transmittances — bounded relative
+            # error, no cancellation). Gate its POSE gradients against the
+            # same f32 XLA reference before it can be a production default.
+            import dataclasses as _dc
+
+            rcfg_bf = _dc.replace(rcfg, blend_bf16=True)
+
+            def fused_pose_grad_bf(q, t):
+                screen, vjp = jax.vjp(
+                    lambda q_, t_: preprocess_instances(
+                        raw, pose_to_matrix(q_, t_), cam
+                    ),
+                    q, t,
+                )
+                _i, _d, d_screen = tracking_loss_grad(
+                    screen, bins.counts, gt4, cam, rcfg_bf, 0.7, 1.0, False,
+                    interpret=False,
+                )
+                return vjp(d_screen)
+
+            gq_b, gt_b = jax.jit(fused_pose_grad_bf)(q0, t0)
+            rqb = float(
+                jnp.max(jnp.abs(gq_b - gq_ref)) / (jnp.max(jnp.abs(gq_ref)) + 1e-9)
+            )
+            rtb = float(
+                jnp.max(jnp.abs(gt_b - gt_ref)) / (jnp.max(jnp.abs(gt_ref)) + 1e-9)
+            )
+            sb = "ok " if max(rqb, rtb) < 5e-2 else "FAIL"
+            if max(rqb, rtb) >= 5e-2:
+                ok = False
+            print(f"[{sb}] exact={int(exact)} bf16-blend POSE grad rel-err: "
+                  f"quat {rqb:.2e} trans {rtb:.2e}", flush=True)
+
         # strided tile_ids (the mesh tracking layout), compiled: shard rows
         # must reproduce the identity run row-for-row and shard losses must
         # sum to the full loss — guards the scalar-prefetch indexing at the
