@@ -46,6 +46,10 @@ def main() -> None:
     ap.add_argument("--bucket-floor", type=int, default=0,
                     help="floor for the live-splat program bucket (pay one "
                          "compile generation when the final size is known)")
+    ap.add_argument("--loop", action="store_true",
+                    help="enable loop closing (auto-loads the packaged ORB "
+                         "vocabulary; the sinusoidal sweep returns to its "
+                         "start, so long runs can close a loop)")
     args = ap.parse_args()
 
     import jax
@@ -102,7 +106,7 @@ def main() -> None:
             **({"rebin_iters": tuple(args.rebin_iters)}
                if args.rebin_iters is not None else {}),
         ),
-        debug=DebugConfig(use_loop=False),
+        debug=DebugConfig(use_loop=args.loop),
     )
     raster = None
     if args.dilate is not None:
@@ -171,6 +175,9 @@ def main() -> None:
         "median_frame_s": float(np.median(lat[1:])),
         "avg_tracking_s": summ["avg_tracking_s"],
         "avg_mapping_s": summ["avg_mapping_s"],
+        "total_frontend_s": summ["total_frontend_s"],
+        "total_kf_chain_s": summ["total_kf_chain_s"],
+        "avg_kf_chain_s": summ["avg_kf_chain_s"],
         "total_gaussians": summ["total_gaussians"],
         "n_keyframes": summ["n_keyframes"],
         "track_iters": args.track_iters,

@@ -177,7 +177,13 @@ class System:
         self.last_T_cw = np.eye(4, dtype=np.float32)
         self.max_frames_between_kf = int(self.cfg.camera.fps)
 
-        self.timings = {"track": 0.0, "map": 0.0, "n_track": 0, "n_map": 0}
+        self.timings = {
+            "track": 0.0, "map": 0.0, "n_track": 0, "n_map": 0,
+            # Host-side phases the r2 e2e runs left unattributed (VGA spent
+            # ~13 s/frame OUTSIDE track/map): ORB frontend per frame, and
+            # the keyframe chain (create_keyframe + LocalMapping + loop).
+            "frontend": 0.0, "kf": 0.0, "n_kf": 0,
+        }
         self.loop_events: list[tuple[int, int, int]] = []
         self.densify_added: list[int] = []  # per-frame splat add counts
 
@@ -561,6 +567,7 @@ class System:
 
         fe_res = None
         aux = stereo_aux or {}
+        t_fe = time.perf_counter()
         if self.fe is not None:
             gray = (
                 0.299 * rgb_np[..., 0] + 0.587 * rgb_np[..., 1] + 0.114 * rgb_np[..., 2]
@@ -588,6 +595,8 @@ class System:
                 fe_res = self.fe.process_frame(
                     gray, T_pred, feats=aux.get("feats"), kp_ur=aux.get("kp_ur")
                 )
+
+        self.timings["frontend"] += time.perf_counter() - t_fe
 
         if self.frame_id == 0:
             T_cw = np.eye(4, dtype=np.float32) if gt_pose is None else np.asarray(
@@ -707,6 +716,7 @@ class System:
                 self.frame_id - self.last_kf_frame_id >= self.max_frames_between_kf
             )
         if is_kf:
+            t_kf = time.perf_counter()
             fe_kf = None
             if self.fe is not None and fe_res is not None:
                 fe_kf = self.fe.create_keyframe(
@@ -720,6 +730,8 @@ class System:
             if fe_kf is not None:
                 self._sync_frontend_poses()
                 self._maybe_close_loop(fe_kf)
+            self.timings["kf"] += time.perf_counter() - t_kf
+            self.timings["n_kf"] += 1
 
         t0 = time.perf_counter()
         # Periodic prune (mask-only: cached bins stay valid).
@@ -1257,6 +1269,9 @@ class System:
             "avg_mapping_s": t["map"] / max(t["n_map"], 1),
             "total_tracking_s": t["track"],
             "total_mapping_s": t["map"],
+            "total_frontend_s": t["frontend"],
+            "total_kf_chain_s": t["kf"],
+            "avg_kf_chain_s": t["kf"] / max(t["n_kf"], 1),
             "n_keyframes": len(self.keyframes),
             "n_frames": self.frame_id,
             "densify_added_mean": (

@@ -59,7 +59,13 @@ FIXED_CHUNKS = 2
 
 def _kernel(counts_ref, packed_ref, gt_ref, grad_ref, loss_ref,
             alpha_scr, tpref_scr, acc_ref, pbas_ref, tri_ref, utri_ref,
-            *, dims, B, do_exp, do_mxu, do_bwd, mxu_fast=False):
+            *, dims, B, do_exp, do_mxu, do_bwd, mxu_fast=False,
+            elem_bf16=False):
+    # elem_bf16: run the [K, px] ELEMENTWISE slab chain in bfloat16 (math
+    # becomes approximate — timing only). bf16 packs 2 values per lane
+    # slot; if Mosaic issues packed bf16 VPU ops this should approach 2x on
+    # the pass-dominated cost. Accumulators/scratch stay f32.
+    edt = jnp.bfloat16 if elem_bf16 else jnp.float32
     pid = pl.program_id(0)
     px, K = dims.px, dims.K
 
@@ -101,22 +107,29 @@ def _kernel(counts_ref, packed_ref, gt_ref, grad_ref, loss_ref,
                     ln_alpha = _dg00_split(grows, pbas_ref[...])
             else:
                 ln_alpha = jnp.zeros((K, px), jnp.float32) + jnp.sum(g0) * 1e-6 - 1.0
-            raw = jnp.exp(ln_alpha) if do_exp else ln_alpha * 0.05
-            alpha = jnp.where(raw >= MIN_ALPHA, jnp.minimum(raw, 0.99), 0.0)
+            la = ln_alpha.astype(edt)
+            raw = jnp.exp(la) if do_exp else la * edt(0.05)
+            alpha = jnp.where(raw >= edt(MIN_ALPHA), jnp.minimum(raw, edt(0.99)),
+                              edt(0.0))
             s = jnp.log1p(-alpha) if do_exp else -alpha
             if do_mxu:
-                cum_excl = _mm(tri_ref[...], s.astype(jnp.bfloat16)) if mxu_fast else _mm_split2_rev(tri_ref[...], s)
+                cum_excl = _mm(tri_ref[...], s.astype(jnp.bfloat16)) if (mxu_fast or elem_bf16) else _mm_split2_rev(tri_ref[...], s)
             else:
-                cum_excl = s * 0.5
-            T_pref = T * (jnp.exp(cum_excl) if do_exp else (1.0 + cum_excl))
+                cum_excl = s * edt(0.5)
+            T_pref = T.astype(edt) * (
+                jnp.exp(cum_excl.astype(edt)) if do_exp
+                else (edt(1.0) + cum_excl.astype(edt))
+            )
             w = alpha * T_pref
-            one_minus = 1.0 - alpha
-            T_out = T_pref[K - 1 : K, :] * one_minus[K - 1 : K, :]
-            alpha_scr[pl.ds(c * K, K), :] = alpha
-            tpref_scr[pl.ds(c * K, K), :] = T_pref
+            one_minus = edt(1.0) - alpha
+            T_out = (T_pref[K - 1 : K, :] * one_minus[K - 1 : K, :]).astype(
+                jnp.float32
+            )
+            alpha_scr[pl.ds(c * K, K), :] = alpha.astype(jnp.float32)
+            tpref_scr[pl.ds(c * K, K), :] = T_pref.astype(jnp.float32)
             ones = jnp.ones((1, K), jnp.float32)
             A5 = jnp.concatenate([row(_R), row(_G), row(_B), z, ones], 0)
-            accum = (_mm(A5.astype(jnp.bfloat16), w.astype(jnp.bfloat16)) if mxu_fast else _mm(A5, w)) if do_mxu else jnp.zeros((5, px), jnp.float32) + T * 0.9
+            accum = (_mm(A5.astype(jnp.bfloat16), w.astype(jnp.bfloat16)) if (mxu_fast or elem_bf16) else _mm(A5, w)) if do_mxu else jnp.zeros((5, px), jnp.float32) + T.astype(jnp.float32) * 0.9
             cross = ((T_pref > 0.5) & (T_pref * one_minus <= 0.5)).astype(jnp.float32)
             z_sel = _mm(z, cross) if do_mxu else jnp.sum(cross, 0, keepdims=True)
             acc_ref[0:5, :] = acc_ref[0:5, :] + accum
@@ -149,37 +162,45 @@ def _kernel(counts_ref, packed_ref, gt_ref, grad_ref, loss_ref,
         acc_ref[7, :] = jnp.zeros((px,), jnp.float32)
 
         def chunk_grad(c, R):
-            alpha_a = alpha_scr[pl.ds(c * K, K), :]
-            T_pref = tpref_scr[pl.ds(c * K, K), :]
+            alpha_a = alpha_scr[pl.ds(c * K, K), :].astype(edt)
+            T_pref = tpref_scr[pl.ds(c * K, K), :].astype(edt)
             w = alpha_a * T_pref
             chunk = packed_ref[b, :, pl.ds(c * K, K)]
             row = lambda r: chunk[r : r + 1, :]
             ones = jnp.ones((1, K), jnp.float32)
             A5 = jnp.concatenate([row(_R), row(_G), row(_B), row(_Z), ones], 0)
             if do_mxu:
-                if mxu_fast:
+                if mxu_fast or elem_bf16:
                     phi = jax.lax.dot_general(A5.astype(jnp.bfloat16), G5.astype(jnp.bfloat16), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=_DEF)
                 else:
                     phi = jax.lax.dot_general(
                         A5, G5, (((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32, precision=_PREC)
             else:
-                phi = w * 0.5 + 0.25
+                phi = w * edt(0.5) + edt(0.25)
+            phi = phi.astype(edt)
             wphi = w * phi
             if do_mxu:
-                suffix = (_mm(utri_ref[...], wphi.astype(jnp.bfloat16)) if mxu_fast else _mm_split2_rev(utri_ref[...], wphi)) + R
+                suffix = (_mm(utri_ref[...], wphi.astype(jnp.bfloat16)) if (mxu_fast or elem_bf16) else _mm_split2_rev(utri_ref[...], wphi.astype(jnp.float32))) + R
             else:
-                suffix = wphi + R
-            d_alpha = T_pref * phi - suffix / (1.0 - alpha_a)
-            live = (alpha_a > 0.0) & (alpha_a < 0.99)
-            d_power = jnp.where(live, d_alpha, 0.0) * alpha_a
+                suffix = wphi.astype(jnp.float32) + R
+            suffix = suffix.astype(edt)
+            d_alpha = T_pref * phi - suffix / (edt(1.0) - alpha_a)
+            live = (alpha_a > edt(0.0)) & (alpha_a < edt(0.99))
+            d_power = jnp.where(live, d_alpha, edt(0.0)) * alpha_a
             if do_mxu:
-                Srows = (jax.lax.dot_general(pbas_ref[...], d_power.astype(jnp.bfloat16), (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=_DEF) if mxu_fast else _dgT_split2(pbas_ref[...], d_power))
-                WGrows = jax.lax.dot_general(
-                    G5, w, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=_PREC)
+                Srows = (jax.lax.dot_general(pbas_ref[...], d_power.astype(jnp.bfloat16), (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=_DEF) if (mxu_fast or elem_bf16) else _dgT_split2(pbas_ref[...], d_power))
+                if mxu_fast or elem_bf16:
+                    WGrows = jax.lax.dot_general(
+                        G5.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32, precision=_DEF)
+                else:
+                    WGrows = jax.lax.dot_general(
+                        G5, w, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32, precision=_PREC)
             else:
-                Srows = jnp.zeros((8, K), jnp.float32) + jnp.sum(d_power) * 1e-6 + chunk[0:1, :]
+                Srows = jnp.zeros((8, K), jnp.float32) + jnp.sum(d_power.astype(jnp.float32)) * 1e-6 + chunk[0:1, :]
                 WGrows = jnp.zeros((5, K), jnp.float32) + chunk[0:1, :]
             S0 = Srows[0:1, :]
             S1u = Srows[1:2, :]
@@ -213,7 +234,7 @@ def _kernel(counts_ref, packed_ref, gt_ref, grad_ref, loss_ref,
 
 
 def run_variant(name, packed, counts, gt4, cam, cfg, do_exp, do_mxu, do_bwd,
-                B=4, mxu_fast=False):
+                B=4, mxu_fast=False, elem_bf16=False):
     cap = packed.shape[2]
     dims = _dims_for(cam, cfg, cap)
     T = dims.n_tiles
@@ -226,7 +247,8 @@ def run_variant(name, packed, counts, gt4, cam, cfg, do_exp, do_mxu, do_bwd,
     def call(p):
         grads, loss = pl.pallas_call(
             functools.partial(_kernel, dims=dims, B=B, do_exp=do_exp,
-                              do_mxu=do_mxu, do_bwd=do_bwd, mxu_fast=mxu_fast),
+                              do_mxu=do_mxu, do_bwd=do_bwd, mxu_fast=mxu_fast,
+                              elem_bf16=elem_bf16),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(Tp // B,),
@@ -255,6 +277,8 @@ def run_variant(name, packed, counts, gt4, cam, cfg, do_exp, do_mxu, do_bwd,
                 jax.ShapeDtypeStruct((Tp, N_ATTR, cap), jnp.float32),
                 jax.ShapeDtypeStruct((Tp, 1, dims.px), jnp.float32),
             ],
+            interpret=bool(int(__import__("os").environ.get(
+                "ABLATE_INTERPRET", "0"))),
         )(counts, p, gt4)
         return grads
 
@@ -315,19 +339,20 @@ def main():
 
     sel = os.environ.get("ABLATE", "all")
     V = {
-        "full": ("full (A+B)", True, True, True, False),
-        "bf16": ("mxu-bf16 (A+B)", True, True, True, True),
-        "fwd": ("fwd-only", True, True, False, False),
-        "noexp": ("no-exp (A+B)", False, True, True, False),
-        "nomxu": ("no-mxu (A+B)", True, False, True, False),
-        "min": ("min (A+B)", False, False, True, False),
+        "full": ("full (A+B)", True, True, True, False, False),
+        "bf16": ("mxu-bf16 (A+B)", True, True, True, True, False),
+        "elem16": ("elem-bf16 (A+B)", True, True, True, False, True),
+        "fwd": ("fwd-only", True, True, False, False, False),
+        "noexp": ("no-exp (A+B)", False, True, True, False, False),
+        "nomxu": ("no-mxu (A+B)", True, False, True, False, False),
+        "min": ("min (A+B)", False, False, True, False, False),
     }
     names = list(V) if sel == "all" else sel.split(",")
     for nm in names:
-        label, de, dm, db, mf = V[nm]
+        label, de, dm, db, mf, eb = V[nm]
         try:
             run_variant(label, packed, bins.counts, gt4, cam, cfg, de, dm, db,
-                        mxu_fast=mf)
+                        mxu_fast=mf, elem_bf16=eb)
         except Exception as e:  # noqa: BLE001
             print(f"{label:30s} CRASH: {type(e).__name__}", flush=True)
 

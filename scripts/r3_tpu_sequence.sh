@@ -24,11 +24,19 @@ python -m gsorb_slam_tpu.apps.run_benchmark \
   --bucket-floor 524288 \
   --out experiments/tum_like_vga_r3 2>&1
 
-echo "=== [4/4] QVGA e2e at the reference budget (200/100 iters) ==="
+echo "=== [4/5] QVGA e2e at the reference budget (200/100 iters) ==="
 python -m gsorb_slam_tpu.apps.run_benchmark \
   --frames 40 --width 320 --height 240 \
   --track-iters 200 --map-iters 100 \
   --dilate 4 \
   --bucket-floor 131072 \
   --out experiments/tum_like_qvga_r3 2>&1
+
+echo "=== [5/5] QVGA with loop closing live (reference parity: use_loop on) ==="
+python -m gsorb_slam_tpu.apps.run_benchmark \
+  --frames 60 --width 320 --height 240 \
+  --track-iters 100 --map-iters 60 \
+  --dilate 4 --loop \
+  --bucket-floor 131072 \
+  --out experiments/tum_like_qvga_loop 2>&1
 echo "=== sequence done ==="
