@@ -74,12 +74,17 @@ def main() -> None:
     W, H = 640, 480
     N = 250_000
     CAP = 1 << 18
-    ITERS = 50
+    # Reference TUM tracking budget (Examples/RGB-D/tum/TUM1.yaml:109): the
+    # timed loop pays the SAME per-frame costs a production frame does —
+    # including the in-loop rebin episodes, amortized at their true 200-iter
+    # cadence (8/40/120), not at a shortened loop's.
+    ITERS = 200
 
     cam = Camera(fx=517.3, fy=516.5, cx=318.6, cy=255.3, width=W, height=H)
-    # Production System defaults (slam/system.py): dilate 2 with ONE in-loop
-    # rebin at iteration 16 (tcfg.rebin_iters) — the timed loop INCLUDES the
-    # rebin cost, exactly as a production frame pays it.
+    # Production System defaults (slam/system.py): dilate 2 with the
+    # budget-adaptive in-loop rebin cadence (8/40/120 at 200 iters) — the
+    # timed loop INCLUDES the rebin cost, exactly as a production frame
+    # pays it.
     rcfg = RasterConfig(
         tile=16, tile_capacity=1024, max_dup=16, chunk=128, dilate_px=2.0,
         exact_stop=False,  # production default (deviation <= 1e-4)

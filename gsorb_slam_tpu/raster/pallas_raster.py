@@ -75,6 +75,7 @@ class _Dims(NamedTuple):
     n_tiles: int
     exact: bool  # CUDA-exact early-stop semantics (see RasterConfig)
     bf16: bool  # bf16 MXU inputs for the triangular cumsum matmuls
+    elem16: bool  # bf16 elementwise slab math on the fast (non-exact) paths
     unroll: int  # chunk steps per while-loop iteration (fixed ~340ns/iter
     #   loop overhead dominates the chunk math, so early exit is checked at
     #   super-chunk granularity and the inner steps are Python-unrolled)
@@ -191,7 +192,14 @@ def _chunk_fast(chunk, tri_l, pbas, T_in, ox, oy, dims: _Dims):
     transcendentals and MXU passes are each <10% of the time) — so this
     function and its callers count passes. 1-alpha is never materialized
     as a slab: T_out needs only its last row, and the crossing test uses
-    T_pref - w (== T_pref*(1-alpha))."""
+    T_pref - w (== T_pref*(1-alpha)).
+
+    ``dims.elem16`` runs the slab chain in bfloat16 (packed 2/lane-slot on
+    the VPU): ln(alpha) stays the f32 MXU output — the cancellation-heavy
+    part — and is rounded ONCE; the downstream alpha/s/T/w chain carries
+    ~0.4% relative error into weights whose gradients are summed over
+    1e5-1e8 contributions. The transmittance carry between chunks (T_in /
+    T_out) stays f32."""
     row = lambda r: chunk[r : r + 1, :]
     mu = row(_MU) - ox
     mv = row(_MV) - oy
@@ -207,6 +215,26 @@ def _chunk_fast(chunk, tri_l, pbas, T_in, ox, oy, dims: _Dims):
          jnp.zeros((2, K), jnp.float32)], 0
     )
     ln_alpha = _dg00_split(grows, pbas)
+    if dims.elem16:
+        # Transcendentals and the log-domain chain stay f32: bf16 error in
+        # s = log1p(-alpha) is AMPLIFIED by exp(cumsum) (3.5% summed-loss
+        # error measured with a bf16 s), so the cumsum keeps the f32
+        # fast path's 2-pass split. Quantization enters each value ONCE —
+        # at the alpha / T_pref / w casts that feed the bf16 slab stores
+        # and MXU passes.
+        e = jnp.bfloat16
+        raw = jnp.exp(ln_alpha)
+        alpha_f = jnp.where(raw >= MIN_ALPHA, jnp.minimum(raw, 0.99), 0.0)
+        s = jnp.log1p(-alpha_f)
+        cum_excl = _mm_split2_rev(tri_l, s)
+        T_pref_f = T_in * jnp.exp(cum_excl)
+        alpha = alpha_f.astype(e)
+        # T_pref stays f32: its only consumers are the median-crossing /
+        # is_med threshold tests, where bf16 rounding near T=0.5 flips the
+        # selected splat and injects O(inter-splat-gap) depth jumps.
+        w = (alpha_f * T_pref_f).astype(e)
+        T_out = T_pref_f[K - 1 : K, :] * (1.0 - alpha_f[K - 1 : K, :])
+        return alpha, w, T_pref_f, T_out
     raw = jnp.exp(ln_alpha)
     alpha = jnp.where(raw >= MIN_ALPHA, jnp.minimum(raw, 0.99), 0.0)
     s = jnp.log1p(-alpha)
@@ -536,6 +564,7 @@ def _dims_for(cam: Camera, cfg: RasterConfig, cap: int) -> _Dims:
         n_tiles=ty * tx,
         exact=cfg.exact_stop,
         bf16=getattr(cfg, "blend_bf16", False),
+        elem16=getattr(cfg, "elem_bf16", False) and not cfg.exact_stop,
         unroll=min(getattr(cfg, "chunk_unroll", 4), n_chunks),
     )
 
@@ -961,16 +990,18 @@ def _fused_track_kernel_fast(
             )
             alpha_scr[pl.ds(c * K, K), :] = alpha
             w_scr[pl.ds(c * K, K), :] = w
+            edt = jnp.bfloat16 if dims.elem16 else jnp.float32
             ones = jnp.ones((1, K), jnp.float32)
             A5 = jnp.concatenate(
                 [row(_R), row(_G), row(_B), z, ones], 0
-            )
-            accum = _mm(A5, w)  # [5, px]
+            ).astype(edt)
+            accum = _mm(A5, w)  # [5, px] f32 (MXU accumulation)
             # crossing median (self-masking: alpha=0 => T_next == T_pref, no
             # cross); T_next = T_pref*(1-alpha) reuses w instead of a 1-alpha
-            # slab
-            cross = ((T_pref > 0.5) & (T_pref - w <= 0.5)).astype(jnp.float32)
-            z_sel = _mm(z, cross)  # [1, px]
+            # slab. T_pref is f32 in BOTH modes — bf16 threshold tests near
+            # T=0.5 flip the selected splat (O(gap) depth error).
+            cross = ((T_pref > 0.5) & (T_pref - w <= 0.5)).astype(edt)
+            z_sel = _mm(z.astype(edt), cross)  # [1, px] f32
             acc_ref[0:5, :] = acc_ref[0:5, :] + accum
             acc_ref[5:6, :] = acc_ref[5:6, :] + z_sel
             acc_ref[6:7, :] = T_out
@@ -1031,27 +1062,50 @@ def _fused_track_kernel_fast(
             row = lambda r: chunk[r : r + 1, :]
             ones = jnp.ones((1, K), jnp.float32)
             A5 = jnp.concatenate([row(_R), row(_G), row(_B), row(_Z), ones], 0)
-            phi = jax.lax.dot_general(
-                A5, G5, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_PREC,
-            )
-            wphi = w * phi
-            if dims.bf16:
-                suffix = _mm(utri_ref[...], wphi.astype(jnp.bfloat16)) + R
+            if dims.elem16:
+                e = jnp.bfloat16
+                phi = jax.lax.dot_general(
+                    A5.astype(e), G5.astype(e), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_DEF,
+                )  # [K, px] f32
+                wphi = w * phi.astype(e)
+                suffix = _mm(utri_ref[...], wphi) + R  # f32
+                # ratio in bf16: alpha <= 0.99 keeps 1-alpha >= ~0.0077 even
+                # after bf16 rounding — no epsilon guard needed.
+                ratio = alpha_a / (e(1) - alpha_a)
+                d_power = jnp.where(
+                    alpha_a < e(0.99), wphi - ratio * suffix.astype(e), e(0)
+                )
+                Srows = jax.lax.dot_general(  # single bf16 pass, no split
+                    pbas_ref[...], d_power, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_DEF,
+                )
+                WGrows = jax.lax.dot_general(
+                    G5.astype(e), w, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_DEF,
+                )
             else:
-                suffix = _mm_split2_rev(utri_ref[...], wphi) + R
-            # d_power = alpha*d_alpha = alpha*T_pref*phi - alpha*suffix/(1-a)
-            #         = w*phi - (alpha/(1-alpha))*suffix.
-            # alpha == 0 self-masks (w == 0, ratio == 0); only the clamp
-            # gate alpha < 0.99 needs an explicit where. alpha <= 0.99 =>
-            # 1-alpha >= 0.01: no epsilon guard needed for the division.
-            ratio = alpha_a / (1.0 - alpha_a)
-            d_power = jnp.where(alpha_a < 0.99, wphi - ratio * suffix, 0.0)
-            Srows = _dgT_split2(pbas_ref[...], d_power)
-            WGrows = jax.lax.dot_general(
-                G5, w, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=_PREC,
-            )
+                phi = jax.lax.dot_general(
+                    A5, G5, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_PREC,
+                )
+                wphi = w * phi
+                if dims.bf16:
+                    suffix = _mm(utri_ref[...], wphi.astype(jnp.bfloat16)) + R
+                else:
+                    suffix = _mm_split2_rev(utri_ref[...], wphi) + R
+                # d_power = alpha*d_alpha = alpha*T_pref*phi - alpha*suffix/(1-a)
+                #         = w*phi - (alpha/(1-alpha))*suffix.
+                # alpha == 0 self-masks (w == 0, ratio == 0); only the clamp
+                # gate alpha < 0.99 needs an explicit where. alpha <= 0.99 =>
+                # 1-alpha >= 0.01: no epsilon guard needed for the division.
+                ratio = alpha_a / (1.0 - alpha_a)
+                d_power = jnp.where(alpha_a < 0.99, wphi - ratio * suffix, 0.0)
+                Srows = _dgT_split2(pbas_ref[...], d_power)
+                WGrows = jax.lax.dot_general(
+                    G5, w, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_PREC,
+                )
             S0 = Srows[0:1, :]
             S1u = Srows[1:2, :]
             S1v = Srows[2:3, :]
@@ -1075,7 +1129,13 @@ def _fused_track_kernel_fast(
                 axis=0,
             )
             grad_ref[b, :, pl.ds(c * K, K)] = G16
-            acc_ref[7:8, :] = R + jnp.sum(wphi, axis=0, keepdims=True)
+            if dims.elem16:
+                # bf16 reduction over K would accumulate in bf16; route the
+                # suffix update through the MXU's f32 accumulator instead.
+                rsum = _mm(jnp.ones((1, K), jnp.bfloat16), wphi)
+            else:
+                rsum = jnp.sum(wphi, axis=0, keepdims=True)
+            acc_ref[7:8, :] = R + rsum
 
         def bwd_body(i, _):
             for j in range(U):
@@ -1210,8 +1270,15 @@ def tracking_loss_grad(
                 ),
             ],
             scratch_shapes=[
-                pltpu.VMEM((cap, dims.px), jnp.float32),  # alpha
-                pltpu.VMEM((cap, dims.px), jnp.float32),  # w = alpha*T_pref
+                # bf16 slabs under elem16 halve both VMEM and store traffic
+                pltpu.VMEM(
+                    (cap, dims.px),
+                    jnp.bfloat16 if dims.elem16 else jnp.float32,
+                ),  # alpha
+                pltpu.VMEM(
+                    (cap, dims.px),
+                    jnp.bfloat16 if dims.elem16 else jnp.float32,
+                ),  # w = alpha*T_pref
                 pltpu.VMEM((8, dims.px), jnp.float32),  # accumulators
                 pltpu.VMEM((8, dims.px), jnp.bfloat16),  # pixel basis
                 pltpu.VMEM((dims.K, dims.K), jnp.bfloat16),
@@ -1365,7 +1432,7 @@ def _flat_fwd_kernel(
         A6 = jnp.concatenate(
             [row(_R), row(_G), row(_B), row(_Z), ones,
              jnp.zeros((1, K), jnp.float32)], 0
-        )
+        ).astype(w.dtype)
         accum = _mm(A6, w)
         k_iota = jax.lax.broadcasted_iota(jnp.int32, (K, px), 0)
         last = jnp.max(jnp.where(is_med, k_iota + 1, 0), axis=0, keepdims=True)
@@ -1440,25 +1507,47 @@ def _flat_bwd_kernel(
         row = lambda r: chunk[r : r + 1, :]
         ones = jnp.ones((1, K), jnp.float32)
         A5 = jnp.concatenate([row(_R), row(_G), row(_B), row(_Z), ones], 0)
-        phi = jax.lax.dot_general(
-            A5, G5, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
-        )
-        wphi = w * phi
-        if dims.bf16:
-            suffix = _mm(utri_ref[...], wphi.astype(jnp.bfloat16)) + r_ref[...]
+        if dims.elem16 and not dims.exact:
+            e = jnp.bfloat16
+            phi = jax.lax.dot_general(
+                A5.astype(e), G5.astype(e), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_DEF,
+            )
+            wphi = w * phi.astype(e)
+            suffix = _mm(utri_ref[...], wphi) + r_ref[...]
+            ratio = alpha / jnp.maximum(e(1) - alpha, e(1e-6))
+            d_power = jnp.where(
+                gate_pow, wphi - ratio * suffix.astype(e), e(0)
+            )
+            Srows = jax.lax.dot_general(
+                pbas_ref[...], d_power, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_DEF,
+            )
+            WGrows = jax.lax.dot_general(
+                G5.astype(e), w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_DEF,
+            )
         else:
-            suffix = _mm_split2_rev(utri_ref[...], wphi) + r_ref[...]
-        # gate_pow subsumes gate, so one where suffices; same algebra as the
-        # fused fast kernel: alpha*d_alpha = w*phi - (alpha/(1-alpha))*suffix
-        # (w is already apply-gated on the exact path, self-masking on fast).
-        ratio = alpha / jnp.maximum(1.0 - alpha, 1e-6)
-        d_power = jnp.where(gate_pow, wphi - ratio * suffix, 0.0)
-        Srows = _dgT_split2(pbas_ref[...], d_power)
-        WGrows = jax.lax.dot_general(
-            G5, w, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
-        )
+            phi = jax.lax.dot_general(
+                A5, G5, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PREC,
+            )
+            wphi = w * phi
+            if dims.bf16:
+                suffix = _mm(utri_ref[...], wphi.astype(jnp.bfloat16)) + r_ref[...]
+            else:
+                suffix = _mm_split2_rev(utri_ref[...], wphi) + r_ref[...]
+            # gate_pow subsumes gate, so one where suffices; same algebra as
+            # the fused fast kernel: alpha*d_alpha = w*phi -
+            # (alpha/(1-alpha))*suffix (w is already apply-gated on the exact
+            # path, self-masking on fast).
+            ratio = alpha / jnp.maximum(1.0 - alpha, 1e-6)
+            d_power = jnp.where(gate_pow, wphi - ratio * suffix, 0.0)
+            Srows = _dgT_split2(pbas_ref[...], d_power)
+            WGrows = jax.lax.dot_general(
+                G5, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PREC,
+            )
         S0 = Srows[0:1, :]
         S1u = Srows[1:2, :]
         S1v = Srows[2:3, :]
@@ -1481,7 +1570,11 @@ def _flat_bwd_kernel(
              jnp.zeros((16 - _N_GRAD, K), jnp.float32)],
             axis=0,
         )
-        r_ref[...] = r_ref[...] + jnp.sum(wphi, axis=0, keepdims=True)
+        if dims.elem16 and not dims.exact:
+            rsum = _mm(jnp.ones((1, K), jnp.bfloat16), wphi)
+        else:
+            rsum = jnp.sum(wphi, axis=0, keepdims=True)
+        r_ref[...] = r_ref[...] + rsum
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

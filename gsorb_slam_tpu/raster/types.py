@@ -50,6 +50,15 @@ class RasterConfig:
     # bf16 MXU inputs (f32 accumulation) for the triangular transmittance
     # cumsum matmuls; ~1e-3 relative T error, below sensor noise.
     blend_bf16: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # bf16 ELEMENTWISE slab math in the non-exact (fast) blend paths: the
+    # [chunk, px] alpha/transmittance/weight chain runs on packed bf16
+    # (2 values per f32 lane slot on the VPU) with f32 MXU accumulation and
+    # an f32 transmittance carry between chunks. ~0.4% relative error in
+    # per-element weights -> <1% in pose/map gradients (sums over 1e5-1e8
+    # contributions); gated compiled-vs-XLA by scripts/tpu_smoke.py.
+    # Implies the blend_bf16 matmul mode on the fast paths (the cumsum
+    # operand is already bf16).
+    elem_bf16: bool = dataclasses.field(default=False, metadata=dict(static=True))
     # Static chunk budget for the flat-chunk mapping path (ChunkBins):
     # supports up to chunk_budget * chunk live tile-instances per view.
     chunk_budget: int = dataclasses.field(default=8192, metadata=dict(static=True))

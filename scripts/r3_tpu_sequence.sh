@@ -17,6 +17,9 @@ fi
 echo "=== [2/3] bench.py ==="
 python bench.py 2>&1 | tail -25
 
+echo "=== [2b] fused-kernel ablation (timing: is packed bf16 2x?) ==="
+ABLATE=full,bf16,elem16,fwd python scripts/profile_fused_ablate.py 2>&1 | tail -8
+
 echo "=== [3/4] VGA e2e (200/100 iters, dilate 4, rebin 8/40/120) ==="
 python -m gsorb_slam_tpu.apps.run_benchmark \
   --frames 60 --track-iters 200 --map-iters 100 \

@@ -199,6 +199,40 @@ def main() -> int:
             print(f"[{sb}] exact={int(exact)} bf16-blend POSE grad rel-err: "
                   f"quat {rqb:.2e} trans {rtb:.2e}", flush=True)
 
+            # elem_bf16 fast mode: the whole [K, px] elementwise slab chain
+            # in packed bf16 (ln-alpha stays the f32 MXU output). Per-element
+            # weights carry ~0.4% relative error; the gate checks the SUMMED
+            # pose gradient stays directionally tight — this mode exists for
+            # the VPU-pass-bound fast path and is only a candidate default
+            # if the ablation shows packed-bf16 VPU throughput gains.
+            rcfg_e16 = _dc.replace(rcfg, elem_bf16=True)
+
+            def fused_pose_grad_e16(q, t):
+                screen, vjp = jax.vjp(
+                    lambda q_, t_: preprocess_instances(
+                        raw, pose_to_matrix(q_, t_), cam
+                    ),
+                    q, t,
+                )
+                _i, _d, d_screen = tracking_loss_grad(
+                    screen, bins.counts, gt4, cam, rcfg_e16, 0.7, 1.0, False,
+                    interpret=False,
+                )
+                return vjp(d_screen)
+
+            gq_e, gt_e = jax.jit(fused_pose_grad_e16)(q0, t0)
+            rqe = float(
+                jnp.max(jnp.abs(gq_e - gq_ref)) / (jnp.max(jnp.abs(gq_ref)) + 1e-9)
+            )
+            rte = float(
+                jnp.max(jnp.abs(gt_e - gt_ref)) / (jnp.max(jnp.abs(gt_ref)) + 1e-9)
+            )
+            se = "ok " if max(rqe, rte) < 8e-2 else "FAIL"
+            if max(rqe, rte) >= 8e-2:
+                ok = False
+            print(f"[{se}] exact={int(exact)} elem-bf16 POSE grad rel-err: "
+                  f"quat {rqe:.2e} trans {rte:.2e}", flush=True)
+
         # strided tile_ids (the mesh tracking layout), compiled: shard rows
         # must reproduce the identity run row-for-row and shard losses must
         # sum to the full loss — guards the scalar-prefetch indexing at the

@@ -402,3 +402,111 @@ def test_fused_tracking_tile_ids_sharding(rng, exact):
         )
     np.testing.assert_allclose(img_sum, float(img_full), rtol=1e-5)
     np.testing.assert_allclose(dep_sum, float(dep_full), rtol=1e-5)
+
+
+def test_fused_tracking_elem_bf16_close_to_f32(rng):
+    """elem_bf16 runs the [K, px] slab chain in packed bf16 (the VPU-pass-
+    bound fast path's throughput mode). Its per-element weights carry ~0.4%
+    relative error; the SUMMED losses and per-instance gradients must stay
+    within a few percent of the f32 fast path — enough for pose Adam, whose
+    gradient is a further sum over all instances."""
+    from gsorb_slam_tpu.raster.pallas_raster import (
+        _pack_instances,
+        tile_gt_images,
+        tracking_loss_grad,
+    )
+
+    cfg = RasterConfig(tile=16, tile_capacity=256, max_dup=16, chunk=64,
+                       exact_stop=False, fused_tiles_per_step=2)
+    cfg16 = dataclasses.replace(cfg, elem_bf16=True)
+    cam = tiny_camera()
+    scene = random_cloud_scene(rng, n=300, capacity=384)
+    prep = _prep(scene, cam)
+    bins = bin_gaussians(prep, cam, cfg)
+    packed = _pack_instances(prep, bins)
+
+    gt_color = jnp.asarray(rng.uniform(size=(cam.height, cam.width, 3)),
+                           jnp.float32)
+    gt_depth = jnp.asarray(rng.uniform(1.0, 3.0, size=(cam.height, cam.width)),
+                           jnp.float32)
+    # The in-kernel loss mask thresholds accumulated saturation (S > 0.99)
+    # PER MODE: bf16-rounded weights flip barely-saturated pixels (measured
+    # 8/3072 on this scene = 3.5% of the summed loss), which is a property
+    # of the discrete threshold, not of the continuous math. Excluding an
+    # S-band of +/-0.005 around the threshold via gtd=0 (part of the mask,
+    # identical in both modes; |S_e16 - S_f32| <= 0.0026 measured) makes
+    # every downstream comparison tight.
+    from gsorb_slam_tpu.raster.binning import chunk_layout, tile_grid_shape
+    from gsorb_slam_tpu.raster.pallas_raster import render_pallas_flat
+
+    ty, tx = tile_grid_shape(cam, cfg)
+    cbins = chunk_layout(bins, ty * tx, cfg.chunk, 64)
+    S_f = render_pallas_flat(prep, cbins, cam, cfg, interpret=True).alpha
+    stable = jnp.abs(S_f - 0.99) > 0.005
+    gt_depth = jnp.where(stable, gt_depth, 0.0)
+    gt4 = tile_gt_images(gt_color, gt_depth, cam, cfg)
+
+    img_f, dep_f, g_f = tracking_loss_grad(
+        packed, bins.counts, gt4, cam, cfg, 0.7, 1.0, False, interpret=True,
+    )
+    img_e, dep_e, g_e = tracking_loss_grad(
+        packed, bins.counts, gt4, cam, cfg16, 0.7, 1.0, False, interpret=True,
+    )
+    # Masked-L1 SUM losses over thousands of pixels at an identical mask.
+    np.testing.assert_allclose(float(img_e), float(img_f), rtol=1e-2)
+    np.testing.assert_allclose(float(dep_e), float(dep_f), rtol=1e-2)
+    a, b = np.asarray(g_f[:, :10, :]), np.asarray(g_e[:, :10, :])
+    scale = np.abs(a).max()
+    # Per-instance gradients: a few percent of the gradient scale.
+    np.testing.assert_allclose(b, a, atol=4e-2 * max(scale, 1e-3))
+    # Summed gradient direction: a 20-instance partial sum gets limited
+    # cancellation of the ~1% per-element bf16 noise (measured 3.9% worst
+    # component); the FULL pose gradient is gated compiled at 8e-2 by
+    # scripts/tpu_smoke.py.
+    sa, sb = a.sum(axis=(0, 2)), b.sum(axis=(0, 2))
+    np.testing.assert_allclose(sb, sa, atol=5e-2 * max(np.abs(sa).max(), 1e-3))
+
+
+def test_flat_blend_elem_bf16_close_to_f32(rng):
+    """Same contract for the flat-chunk mapping path: elem_bf16 outputs and
+    per-Gaussian gradients within bf16 noise of the f32 fast path."""
+    from gsorb_slam_tpu.raster.binning import chunk_layout, tile_grid_shape
+    from gsorb_slam_tpu.raster.pallas_raster import render_pallas_flat
+
+    cfg = RasterConfig(tile=16, tile_capacity=256, max_dup=16, chunk=64,
+                       exact_stop=False, chunk_budget=64)
+    cfg16 = dataclasses.replace(cfg, elem_bf16=True)
+    cam = tiny_camera()
+    scene = random_cloud_scene(rng, n=250, capacity=256)
+    prep0 = _prep(scene, cam)
+    bins = bin_gaussians(prep0, cam, cfg)
+    ty, tx = tile_grid_shape(cam, cfg)
+    cbins = chunk_layout(bins, ty * tx, cfg.chunk, cfg.chunk_budget)
+
+    def loss(op, c):
+        p = dataclasses.replace(prep0, opacity=op)
+        out = render_pallas_flat(p, cbins, cam, c, interpret=True)
+        return (
+            jnp.mean(jnp.abs(out.color)) + 0.3 * jnp.mean(jnp.abs(out.depth))
+            + 0.1 * jnp.mean(out.alpha)
+        )
+
+    l_f, g_f = jax.value_and_grad(lambda op: loss(op, cfg))(prep0.opacity)
+    l_e, g_e = jax.value_and_grad(lambda op: loss(op, cfg16))(prep0.opacity)
+    np.testing.assert_allclose(float(l_e), float(l_f), rtol=2e-2)
+    a, b = np.asarray(g_f), np.asarray(g_e)
+    np.testing.assert_allclose(b, a, atol=4e-2 * max(np.abs(a).max(), 1e-3))
+
+    # The strong contract for the tracking loss: at a FIXED saturation mask
+    # (f32's), the elem16 masked-L1 matches f32 to ~bf16-accumulation noise.
+    # (The in-kernel loss also thresholds S>0.99 per mode; that discrete
+    # mask is the only thing elem16 moves by more than a few 1e-4.)
+    o_f = render_pallas_flat(prep0, cbins, cam, cfg, interpret=True)
+    o_e = render_pallas_flat(prep0, cbins, cam, cfg16, interpret=True)
+    gt_c = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(0), (cam.height, cam.width, 3))
+    )
+    m = np.asarray(o_f.alpha) > 0.99
+    l1_f = float((np.abs(np.asarray(o_f.color) - gt_c).sum(-1) * m).sum())
+    l1_e = float((np.abs(np.asarray(o_e.color) - gt_c).sum(-1) * m).sum())
+    np.testing.assert_allclose(l1_e, l1_f, rtol=2e-3)
