@@ -114,7 +114,7 @@ def main() -> None:
 
         from gsorb_slam_tpu.slam.system import System as _S
 
-        raster = _dc.replace(_S.default_raster_config(), dilate_px=args.dilate)
+        raster = _dc.replace(_S.default_raster_config(args.width), dilate_px=args.dilate)
     sys_ = System(cfg, max_keyframes=128, frontend=args.frontend, raster=raster)
     if args.bucket_floor:
         sys_.prefix_bucket_floor = args.bucket_floor

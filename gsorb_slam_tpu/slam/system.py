@@ -81,11 +81,20 @@ class System:
     """
 
     @staticmethod
-    def default_raster_config() -> RasterConfig:
+    def default_raster_config(width: int = 320) -> RasterConfig:
         """The production raster configuration (single source of truth for
-        apps/benchmarks that want to tweak one field of it)."""
+        apps/benchmarks that want to tweak one field of it).
+
+        ``dilate_px`` scales with resolution: the same physical inter-rebin
+        pose drift is twice the PIXELS at VGA as at QVGA, and a dilate that
+        undershoots the drift starves the pose gradient of the true-surface
+        tiles (the r2 VGA tracking collapse — see PLAN.md drift experiment:
+        dilate 4 + rebins 8/40/120 leaves 2.4% residual where dilate 2 +
+        one rebin stalls at ~50%). QVGA keeps dilate 2 (~45% fewer tile
+        instances than dilate 4)."""
         return RasterConfig(
-            tile=16, tile_capacity=1024, max_dup=16, chunk=128, dilate_px=2.0,
+            tile=16, tile_capacity=1024, max_dup=16, chunk=128,
+            dilate_px=2.0 if width <= 400 else 4.0,
             exact_stop=False,
         )
 
@@ -141,12 +150,11 @@ class System:
         # exact_stop=False: production default — the early-stop deviation is
         # <= 1e-4 in color/alpha (far below sensor noise) and saves ~8%/iter;
         # pass a RasterConfig with exact_stop=True for CUDA-bit semantics.
-        # dilate_px=2 + the in-loop rebin (tcfg.rebin_iters) covers pose
-        # drift between binning episodes at ~45% fewer tile instances than
-        # dilate 4. chunk=128: the triangular cumsum/suffix matmuls cost
-        # O(K) per pixel-instance pair, so at true-f32 precision K=128
-        # halves the dominant FLOPs vs 256 (measured 10.6 vs 19.5 ms/iter).
-        self.rcfg = raster or System.default_raster_config()
+        # dilate_px resolution-scaled (see default_raster_config). chunk=128:
+        # the triangular cumsum/suffix matmuls cost O(K) per pixel-instance
+        # pair, so at true-f32 precision K=128 halves the dominant FLOPs vs
+        # 256 (measured 10.6 vs 19.5 ms/iter).
+        self.rcfg = raster or System.default_raster_config(self.cam.width)
         self.gm: GaussianMap = empty_map(self.cfg.mapping.max_gaussians)
         self.rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
