@@ -1034,6 +1034,51 @@ class System:
         self.frame_id += 1
         return T_cw
 
+    def reset(self) -> None:
+        """``System::Reset`` (``src/System.cc``; ``Tracking::Reset``
+        ``src/Tracking.cc``): drop the Gaussian map, keyframes, map points,
+        loop database, trajectory, and motion model. Camera, config, and the
+        compiled program set survive — the next ``track_*`` call starts a
+        fresh session without re-paying compilation."""
+        self.gm = empty_map(self.cfg.mapping.max_gaussians)
+        self._kf_colors = jnp.zeros_like(self._kf_colors)
+        self._kf_depths = jnp.zeros_like(self._kf_depths)
+        self._kf_bins_idx = jnp.full_like(self._kf_bins_idx, -1)
+        self._kf_bins_cnt = jnp.zeros_like(self._kf_bins_cnt)
+        self.keyframes = []
+        self.last_kf = None
+        self._kf_created = 0
+        self._last_compact_frame = -1
+        self.trajectory = []
+        self.frame_id = 0
+        self.last_kf_frame_id = -(10**9)
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.last_T_cw = np.eye(4, dtype=np.float32)
+        self._lost_streak = 0
+        self.loop_events = []
+        self.densify_added = []
+        if self.fe is not None:
+            from gsorb_slam_tpu.core.camera import Distortion
+            from gsorb_slam_tpu.slam.geometric import GeometricFrontend
+
+            cc = self.cfg.camera
+            self.fe = GeometricFrontend(
+                self.cam, self.cfg.orb,
+                th_depth=cc.bf / cc.fx * cc.th_depth,
+                dist=Distortion(k1=cc.k1, k2=cc.k2, p1=cc.p1, p2=cc.p2, k3=cc.k3),
+                bf=cc.bf,
+            )
+        if self.loop_closer is not None:
+            from gsorb_slam_tpu.slam.loop import LoopCloser
+
+            self.loop_closer = LoopCloser(self.loop_closer.db.vocab)
+        # monocular state machine (only present after track_monocular use)
+        self._mono_ref = None
+        self._mono_initialized = False
+        self._mono_state = "NOT_INITIALIZED"
+        self._mono_lost = 0
+        self._mono_last_kf_frame = -(10**9)
+
     def _mono_reset(self) -> None:
         """System::Reset for the monocular path: drop the map and re-enter
         initialization (``src/Tracking.cc:699-707``, ``System::Reset``)."""

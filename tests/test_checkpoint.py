@@ -55,3 +55,28 @@ def test_checkpoint_resume_continues_tracking(tmp_path):
         err = np.linalg.norm(T[:3, 3] - ds[i].gt_T_cw[:3, 3])
         assert err < 0.1, err
     assert len(sys_b.trajectory) == 6
+
+
+def test_reset_clears_session_and_tracks_again():
+    """System::Reset parity (src/System.cc): after reset() the session state
+    is empty and tracking restarts cleanly on the SAME compiled programs."""
+    cam = Camera(fx=60.0, fy=60.0, cx=32.0, cy=24.0, width=64, height=48)
+    ds = SyntheticDataset(cam, n_frames=6, n_splats=1500, seed=3, motion_scale=0.12)
+
+    s = System(_cfg(), max_keyframes=8, raster=RCFG, seed=0)
+    for i in range(3):
+        s.track_rgbd(ds[i].rgb, ds[i].depth, float(i))
+    assert s.frame_id == 3 and len(s.keyframes) >= 1
+    assert int(s.gm.count) > 0
+
+    s.reset()
+    assert s.frame_id == 0
+    assert s.keyframes == [] and s.last_kf is None
+    assert s.trajectory == [] and s.loop_events == []
+    assert int(s.gm.count) == 0
+    np.testing.assert_array_equal(s.velocity, np.eye(4, dtype=np.float32))
+
+    # A fresh session on the same System instance.
+    for i in range(3):
+        T = s.track_rgbd(ds[i].rgb, ds[i].depth, float(i))
+    assert s.frame_id == 3 and np.all(np.isfinite(T))
