@@ -302,3 +302,41 @@ def test_tracking_recovers_large_drift():
     err0 = float(jnp.abs(T_gt - T_id).max())
     err = float(jnp.abs(T_gt - res.T_cw).max())
     assert err < 0.10 * err0, (err0, err)
+
+
+@pytest.mark.slow
+def test_tracking_recovers_pose_elem_bf16(rng):
+    """elem_bf16's ~1% per-element weight noise must not break tracking
+    CONVERGENCE: the pallas fast path (interpret) with bf16 slabs recovers a
+    perturbed pose at least as far as the acceptance bar of the f32 test
+    above (same scene/budget)."""
+    cam = tiny_camera(w=64, h=48, f=60.0)
+    scene = random_cloud_scene(rng, n=600, capacity=640, spread=1.6)
+    scene["logit_opacities"] = jnp.full_like(scene["logit_opacities"], 6.0)
+    gm = _gm_from_scene(scene)
+
+    rcfg = dataclasses.replace(
+        RCFG, backend="pallas", exact_stop=False, chunk=64, elem_bf16=True
+    )
+    T_gt = np.eye(4, dtype=np.float32)
+    out_gt = render(
+        gm.means, gm.rgb, gm.quats, gm.logit_opacities, gm.log_scales,
+        gm.active, jnp.asarray(T_gt), cam, RCFG,
+    )
+    gt_color = out_gt.color
+    gt_depth = jnp.where(out_gt.alpha > 0.5, out_gt.median_depth, 0.0)
+
+    T_init = np.asarray(
+        pose_to_matrix(
+            jnp.array([1.0, 0.004, -0.003, 0.005]), jnp.array([0.015, -0.01, 0.012])
+        )
+    )
+    tcfg = TrackingConfig(num_iters=60, use_sur_depth=True)
+    res = track_frame(
+        gm, jnp.asarray(T_init), gt_color, gt_depth, FeatureMatches.empty(),
+        cam, tcfg, rcfg,
+    )
+    err_init = np.linalg.norm(T_init[:3, 3] - T_gt[:3, 3])
+    err_final = np.linalg.norm(np.asarray(res.T_cw)[:3, 3] - T_gt[:3, 3])
+    assert err_final < 0.6 * err_init, (err_init, err_final)
+    assert np.isfinite(float(res.loss))
