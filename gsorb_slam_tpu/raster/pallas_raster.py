@@ -52,6 +52,10 @@ from gsorb_slam_tpu.raster.types import RasterConfig, RenderOutput
 
 MIN_ALPHA = 1.0 / 255.0
 STOP_T = 1e-4
+# bf16 round-to-nearest of the 0.99 alpha clamp: under elem16 the stored
+# clamped alphas equal exactly this value, so the unclamped-gradient gate
+# compares against it (a Python constant — jnp.bfloat16(0.99) would trace).
+BF16_CLAMP = 0.98828125
 
 # packed attribute rows. The opacity row is pre-multiplied by the live mask
 # (dead instances blend with alpha exactly 0), so the kernels never touch
@@ -1070,11 +1074,14 @@ def _fused_track_kernel_fast(
                 )  # [K, px] f32
                 wphi = w * phi.astype(e)
                 suffix = _mm(utri_ref[...], wphi) + R  # f32
-                # ratio in bf16: alpha <= 0.99 keeps 1-alpha >= ~0.0077 even
-                # after bf16 rounding — no epsilon guard needed.
-                ratio = alpha_a / (e(1) - alpha_a)
+                # Mosaic (v5e) rejects cmpf/div on packed bf16 vectors: the
+                # mask + ratio chain runs on ONE f32 upcast of the alpha
+                # slab. Clamped alphas store bf16(0.99) exactly, so the
+                # unclamped gate compares against that value, not 0.99.
+                af = alpha_a.astype(jnp.float32)
+                ratio = (af / (1.0 - af)).astype(e)
                 d_power = jnp.where(
-                    alpha_a < e(0.99), wphi - ratio * suffix.astype(e), e(0)
+                    af < BF16_CLAMP, wphi - ratio * suffix.astype(e), e(0)
                 )
                 Srows = jax.lax.dot_general(  # single bf16 pass, no split
                     pbas_ref[...], d_power, (((1,), (1,)), ((), ())),
@@ -1427,7 +1434,9 @@ def _flat_fwd_kernel(
                 chunk, tri_ref[...], pbas_ref[...], T, ox, oy, dims
             )
             done_out = T_out < STOP_T
-            is_med = (alpha > 0.0) & (T_pref > 0.5)
+            # f32 compare: Mosaic rejects cmpf on packed-bf16 vectors (the
+            # alpha slab is bf16 under elem16; T_pref is always f32).
+            is_med = (alpha.astype(jnp.float32) > 0.0) & (T_pref > 0.5)
         ones = jnp.ones((1, K), jnp.float32)
         A6 = jnp.concatenate(
             [row(_R), row(_G), row(_B), row(_Z), ones,
@@ -1502,8 +1511,12 @@ def _flat_bwd_kernel(
             )
             # done pixels carry T_in = 0: their suffix still holds the
             # final-T cotangent, so gate their (never-applied) grads off.
-            gate = (alpha > 0.0) & jnp.logical_not(done)
-            gate_pow = gate & (alpha < 0.99)
+            # Gating compares run in f32 (Mosaic rejects packed-bf16 cmpf);
+            # under elem16 the clamp value stored is bf16(0.99) exactly.
+            af32 = alpha.astype(jnp.float32)
+            clamp_v = BF16_CLAMP if dims.elem16 else 0.99
+            gate = (af32 > 0.0) & jnp.logical_not(done)
+            gate_pow = gate & (af32 < clamp_v)
         row = lambda r: chunk[r : r + 1, :]
         ones = jnp.ones((1, K), jnp.float32)
         A5 = jnp.concatenate([row(_R), row(_G), row(_B), row(_Z), ones], 0)
@@ -1515,7 +1528,8 @@ def _flat_bwd_kernel(
             )
             wphi = w * phi.astype(e)
             suffix = _mm(utri_ref[...], wphi) + r_ref[...]
-            ratio = alpha / jnp.maximum(e(1) - alpha, e(1e-6))
+            # f32 division (packed-bf16 div unsupported), bf16 product.
+            ratio = (af32 / jnp.maximum(1.0 - af32, 1e-6)).astype(e)
             d_power = jnp.where(
                 gate_pow, wphi - ratio * suffix.astype(e), e(0)
             )
