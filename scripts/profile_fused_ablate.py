@@ -107,30 +107,33 @@ def _kernel(counts_ref, packed_ref, gt_ref, grad_ref, loss_ref,
                     ln_alpha = _dg00_split(grows, pbas_ref[...])
             else:
                 ln_alpha = jnp.zeros((K, px), jnp.float32) + jnp.sum(g0) * 1e-6 - 1.0
-            la = ln_alpha.astype(edt)
-            raw = jnp.exp(la) if do_exp else la * edt(0.05)
-            alpha = jnp.where(raw >= edt(MIN_ALPHA), jnp.minimum(raw, edt(0.99)),
-                              edt(0.0))
-            s = jnp.log1p(-alpha) if do_exp else -alpha
+            # Mirrors the production elem16 structure (pallas_raster.
+            # _chunk_fast): transcendentals, compares, and the log-domain
+            # chain stay f32 (Mosaic rejects cmpf/div/exp on packed bf16);
+            # the bf16 savings are the slab casts, stores, and MXU passes.
+            raw = jnp.exp(ln_alpha) if do_exp else ln_alpha * 0.05
+            alpha_f = jnp.where(
+                raw >= MIN_ALPHA, jnp.minimum(raw, 0.99), 0.0
+            )
+            s = jnp.log1p(-alpha_f) if do_exp else -alpha_f
             if do_mxu:
                 cum_excl = _mm(tri_ref[...], s.astype(jnp.bfloat16)) if (mxu_fast or elem_bf16) else _mm_split2_rev(tri_ref[...], s)
             else:
-                cum_excl = s * edt(0.5)
-            T_pref = T.astype(edt) * (
-                jnp.exp(cum_excl.astype(edt)) if do_exp
-                else (edt(1.0) + cum_excl.astype(edt))
+                cum_excl = s * 0.5
+            T_pref_f = T * (
+                jnp.exp(cum_excl) if do_exp else (1.0 + cum_excl)
             )
-            w = alpha * T_pref
-            one_minus = edt(1.0) - alpha
-            T_out = (T_pref[K - 1 : K, :] * one_minus[K - 1 : K, :]).astype(
-                jnp.float32
-            )
-            alpha_scr[pl.ds(c * K, K), :] = alpha.astype(jnp.float32)
-            tpref_scr[pl.ds(c * K, K), :] = T_pref.astype(jnp.float32)
+            alpha = alpha_f.astype(edt)
+            T_pref = T_pref_f.astype(edt)
+            w = (alpha_f * T_pref_f).astype(edt)
+            one_minus = 1.0 - alpha_f
+            T_out = T_pref_f[K - 1 : K, :] * one_minus[K - 1 : K, :]
+            alpha_scr[pl.ds(c * K, K), :] = alpha_f
+            tpref_scr[pl.ds(c * K, K), :] = T_pref_f
             ones = jnp.ones((1, K), jnp.float32)
             A5 = jnp.concatenate([row(_R), row(_G), row(_B), z, ones], 0)
             accum = (_mm(A5.astype(jnp.bfloat16), w.astype(jnp.bfloat16)) if (mxu_fast or elem_bf16) else _mm(A5, w)) if do_mxu else jnp.zeros((5, px), jnp.float32) + T.astype(jnp.float32) * 0.9
-            cross = ((T_pref > 0.5) & (T_pref * one_minus <= 0.5)).astype(jnp.float32)
+            cross = ((T_pref_f > 0.5) & (T_pref_f * one_minus <= 0.5)).astype(jnp.float32)
             z_sel = _mm(z, cross) if do_mxu else jnp.sum(cross, 0, keepdims=True)
             acc_ref[0:5, :] = acc_ref[0:5, :] + accum
             acc_ref[5:6, :] = acc_ref[5:6, :] + z_sel
@@ -162,9 +165,10 @@ def _kernel(counts_ref, packed_ref, gt_ref, grad_ref, loss_ref,
         acc_ref[7, :] = jnp.zeros((px,), jnp.float32)
 
         def chunk_grad(c, R):
-            alpha_a = alpha_scr[pl.ds(c * K, K), :].astype(edt)
-            T_pref = tpref_scr[pl.ds(c * K, K), :].astype(edt)
-            w = alpha_a * T_pref
+            alpha_f = alpha_scr[pl.ds(c * K, K), :]  # f32 scratch
+            tpref_f = tpref_scr[pl.ds(c * K, K), :]
+            alpha_a = alpha_f.astype(edt)
+            w = (alpha_f * tpref_f).astype(edt)
             chunk = packed_ref[b, :, pl.ds(c * K, K)]
             row = lambda r: chunk[r : r + 1, :]
             ones = jnp.ones((1, K), jnp.float32)
@@ -184,10 +188,13 @@ def _kernel(counts_ref, packed_ref, gt_ref, grad_ref, loss_ref,
                 suffix = (_mm(utri_ref[...], wphi.astype(jnp.bfloat16)) if (mxu_fast or elem_bf16) else _mm_split2_rev(utri_ref[...], wphi.astype(jnp.float32))) + R
             else:
                 suffix = wphi.astype(jnp.float32) + R
-            suffix = suffix.astype(edt)
-            d_alpha = T_pref * phi - suffix / (edt(1.0) - alpha_a)
-            live = (alpha_a > edt(0.0)) & (alpha_a < edt(0.99))
-            d_power = jnp.where(live, d_alpha, edt(0.0)) * alpha_a
+            # gates + ratio in f32 (packed-bf16 cmpf/div unsupported);
+            # d_power = w*phi - (a/(1-a))*suffix, the production algebra.
+            ratio = (alpha_f / jnp.maximum(1.0 - alpha_f, 1e-6)).astype(edt)
+            live = (alpha_f > 0.0) & (alpha_f < 0.99)
+            d_power = jnp.where(
+                live, wphi - ratio * suffix.astype(edt), edt(0.0)
+            )
             if do_mxu:
                 Srows = (jax.lax.dot_general(pbas_ref[...], d_power.astype(jnp.bfloat16), (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32, precision=_DEF) if (mxu_fast or elem_bf16) else _dgT_split2(pbas_ref[...], d_power))
                 if mxu_fast or elem_bf16:
