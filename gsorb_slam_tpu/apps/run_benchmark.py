@@ -119,6 +119,12 @@ def main() -> None:
     if args.bucket_floor:
         sys_.prefix_bucket_floor = args.bucket_floor
 
+    # Per-frame progress persists as it happens (frames.jsonl): a run killed
+    # mid-sequence (wall-clock budget, relay loss) still leaves its
+    # trajectory-error/densify trace in the experiment dir.
+    os.makedirs(args.out, exist_ok=True)
+    frames_log = open(os.path.join(args.out, "frames.jsonl"), "a", buffering=1)
+
     est, gt, lat = [], [], []
     for i, fr in enumerate(ds):
         tf = time.time()
@@ -139,6 +145,11 @@ def main() -> None:
         print(f"frame {i}/{len(ds)}  {lat[-1]:.2f}s "
               f"splats={int(sys_.gm.n_active())} adds={adds} "
               f"terr={terr*100:.2f}cm rerr={ang:.3f}deg", flush=True)
+        frames_log.write(json.dumps({
+            "frame": i, "s": round(lat[-1], 3),
+            "splats": int(sys_.gm.n_active()), "adds": int(adds),
+            "terr_cm": round(terr * 100, 3), "rerr_deg": round(float(ang), 4),
+        }) + "\n")
 
     rmse = float(ate_rmse(est, gt))
     summ = sys_.shutdown_summary()
