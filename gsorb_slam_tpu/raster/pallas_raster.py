@@ -83,6 +83,7 @@ class _Dims(NamedTuple):
     unroll: int  # chunk steps per while-loop iteration (fixed ~340ns/iter
     #   loop overhead dominates the chunk math, so early exit is checked at
     #   super-chunk granularity and the inner steps are Python-unrolled)
+    group: int  # chunks per grid step in the FLAT blend kernels
 
 
 def _pixel_basis(dims: _Dims, t) -> jnp.ndarray:
@@ -570,6 +571,7 @@ def _dims_for(cam: Camera, cfg: RasterConfig, cap: int) -> _Dims:
         bf16=getattr(cfg, "blend_bf16", False),
         elem16=getattr(cfg, "elem_bf16", False) and not cfg.exact_stop,
         unroll=min(getattr(cfg, "chunk_unroll", 4), n_chunks),
+        group=max(1, getattr(cfg, "flat_group", 1)),
     )
 
 
@@ -1396,109 +1398,144 @@ def _pack_instances_flat(prep: Preprocessed, cbins) -> jnp.ndarray:
 
 
 def _flat_fwd_kernel(
-    ct_ref, cp_ref, packed_ref, out_ref, chunk_t_ref, tfin_ref,
+    ct_ref, cp_ref, packed_ref, snap_ref, chunk_t_ref,
     acc_ref, pbas_ref, tri_ref, *, dims: _Dims,
 ):
-    c = pl.program_id(0)
-    t = ct_ref[c]
-    pos = cp_ref[c]
-    px, K = dims.px, dims.K
-    ox = ((t % dims.tx) * dims.ts).astype(jnp.float32)
-    oy = ((t // dims.tx) * dims.ts).astype(jnp.float32)
+    """Grouped flat forward: ``dims.group`` chunks per grid step.
 
-    @pl.when(c == 0)
+    Per-tile blend state persists in scratch across a tile's consecutive
+    chunks exactly as before; instead of revisiting a tile-indexed output
+    block (which forces one chunk per step — the block index map can only
+    name ONE tile per step), every chunk writes a SNAPSHOT of the running
+    accumulator, and the XLA caller gathers each tile's final state from
+    its last chunk's snapshot. The snapshot writes cost the same HBM
+    traffic the old per-step tile-block writes did; the fixed per-grid-step
+    overhead (the dominant cost at K=128) is amortized ``group``-fold.
+    """
+    g = pl.program_id(0)
+    px, K, G = dims.px, dims.K, dims.group
+
+    @pl.when(g == 0)
     def _():
-        pbas_ref[...] = _pixel_basis(dims, t).astype(pbas_ref.dtype)
+        pbas_ref[...] = _pixel_basis(dims, 0).astype(pbas_ref.dtype)
         tri_ref[...] = _tri(K, True, tri_ref.dtype)
 
-    @pl.when(pos == 0)
-    def _():
-        acc_ref[...] = jnp.zeros((8, px), jnp.float32)
-        acc_ref[6, :] = jnp.ones((px,), jnp.float32)
+    for j in range(G):
+        cidx = g * G + j
+        t = ct_ref[cidx]
+        pos = cp_ref[cidx]
+        ox = ((t % dims.tx) * dims.ts).astype(jnp.float32)
+        oy = ((t // dims.tx) * dims.ts).astype(jnp.float32)
 
-    T = acc_ref[6:7, :]
-    done = acc_ref[7:8, :] > 0.5
-    chunk_t_ref[0] = jnp.where(done, 0.0, T)
+        @pl.when(pos == 0)
+        def _():
+            acc_ref[...] = jnp.zeros((8, px), jnp.float32)
+            acc_ref[6, :] = jnp.ones((px,), jnp.float32)
 
-    @pl.when(jnp.sum(acc_ref[7, :]) < px - 0.5)
-    def _():
-        chunk = packed_ref[0]  # [N_ATTR, K]
-        row = lambda r: chunk[r : r + 1, :]
-        if dims.exact:
-            _b, alpha, _unc, apply, T_pref, w, T_out, done_out = _chunk_common(
-                chunk, tri_ref[...], pbas_ref[...], T, done, ox, oy, dims
+        T = acc_ref[6:7, :]
+        done = acc_ref[7:8, :] > 0.5
+        chunk_t_ref[j] = jnp.where(done, 0.0, T)
+
+        @pl.when(jnp.sum(acc_ref[7, :]) < px - 0.5)
+        def _():
+            chunk = packed_ref[j]  # [N_ATTR, K]
+            row = lambda r: chunk[r : r + 1, :]
+            if dims.exact:
+                _b, alpha, _unc, apply, T_pref, w, T_out, done_out = _chunk_common(
+                    chunk, tri_ref[...], pbas_ref[...], T, done, ox, oy, dims
+                )
+                is_med = apply & (T_pref > 0.5)
+            else:
+                alpha, w, T_pref, T_out = _chunk_fast(
+                    chunk, tri_ref[...], pbas_ref[...], T, ox, oy, dims
+                )
+                done_out = T_out < STOP_T
+                # f32 compare: Mosaic rejects cmpf on packed-bf16 vectors
+                # (the alpha slab is bf16 under elem16; T_pref is f32).
+                is_med = (alpha.astype(jnp.float32) > 0.0) & (T_pref > 0.5)
+            ones = jnp.ones((1, K), jnp.float32)
+            A6 = jnp.concatenate(
+                [row(_R), row(_G), row(_B), row(_Z), ones,
+                 jnp.zeros((1, K), jnp.float32)], 0
+            ).astype(w.dtype)
+            accum = _mm(A6, w)
+            k_iota = jax.lax.broadcasted_iota(jnp.int32, (K, px), 0)
+            last = jnp.max(
+                jnp.where(is_med, k_iota + 1, 0), axis=0, keepdims=True
             )
-            is_med = apply & (T_pref > 0.5)
-        else:
-            alpha, w, T_pref, T_out = _chunk_fast(
-                chunk, tri_ref[...], pbas_ref[...], T, ox, oy, dims
+            onehot = ((k_iota + 1) == last).astype(jnp.float32)
+            z_sel = jax.lax.dot_general(
+                row(_Z), onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PREC,
             )
-            done_out = T_out < STOP_T
-            # f32 compare: Mosaic rejects cmpf on packed-bf16 vectors (the
-            # alpha slab is bf16 under elem16; T_pref is always f32).
-            is_med = (alpha.astype(jnp.float32) > 0.0) & (T_pref > 0.5)
-        ones = jnp.ones((1, K), jnp.float32)
-        A6 = jnp.concatenate(
-            [row(_R), row(_G), row(_B), row(_Z), ones,
-             jnp.zeros((1, K), jnp.float32)], 0
-        ).astype(w.dtype)
-        accum = _mm(A6, w)
-        k_iota = jax.lax.broadcasted_iota(jnp.int32, (K, px), 0)
-        last = jnp.max(jnp.where(is_med, k_iota + 1, 0), axis=0, keepdims=True)
-        onehot = ((k_iota + 1) == last).astype(jnp.float32)
-        z_sel = jax.lax.dot_general(
-            row(_Z), onehot, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC,
-        )
-        acc = acc_ref[0:6, :] + accum
-        acc_ref[0:6, :] = jnp.concatenate(
-            [acc[0:5, :], jnp.where(last > 0, z_sel, acc[5:6, :])], 0
-        )
-        acc_ref[6:7, :] = T_out
-        acc_ref[7:8, :] = done_out.astype(jnp.float32)
+            acc = acc_ref[0:6, :] + accum
+            acc_ref[0:6, :] = jnp.concatenate(
+                [acc[0:5, :], jnp.where(last > 0, z_sel, acc[5:6, :])], 0
+            )
+            acc_ref[6:7, :] = T_out
+            acc_ref[7:8, :] = done_out.astype(jnp.float32)
 
-    out_ref[0, 0:7, :] = acc_ref[0:7, :]
-    out_ref[0, 7:8, :] = jnp.zeros((1, px), jnp.float32)
-    tfin_ref[0] = acc_ref[6:7, :]
+        snap_ref[j, 0:7, :] = acc_ref[0:7, :]
+        snap_ref[j, 7:8, :] = jnp.zeros((1, px), jnp.float32)
 
 
 def _flat_bwd_kernel(
     ct_ref, cp_ref, packed_ref, chunk_t_ref, tfin_ref, gout_ref, grad_ref,
     r_ref, pbas_ref, tri_ref, utri_ref, *, dims: _Dims, mc: int,
 ):
-    c = pl.program_id(0)
-    rc = mc - 1 - c
-    t = ct_ref[rc]
-    px, K = dims.px, dims.K
-    ox = ((t % dims.tx) * dims.ts).astype(jnp.float32)
-    oy = ((t // dims.tx) * dims.ts).astype(jnp.float32)
+    """Grouped flat backward: ``dims.group`` chunks per (reversed) grid
+    step, processed in descending chunk order within the block. The
+    per-tile cotangent / final-T operands arrive pre-gathered to CHUNK
+    layout (``gout_c``/``tfin_c`` in the caller) so the block index maps
+    stay chunk-major."""
+    g = pl.program_id(0)
+    px, K, G = dims.px, dims.K, dims.group
+    blk = mc // G - 1 - g
 
-    @pl.when(c == 0)
+    @pl.when(g == 0)
     def _():
-        pbas_ref[...] = _pixel_basis(dims, t).astype(pbas_ref.dtype)
+        pbas_ref[...] = _pixel_basis(dims, 0).astype(pbas_ref.dtype)
         tri_ref[...] = _tri(K, True, tri_ref.dtype)
         utri_ref[...] = _tri(K, False, utri_ref.dtype)
 
-    # Reversed traversal: the first chunk of a tile we encounter is that
-    # tile's LAST chunk -> initialize the suffix accumulator from the
-    # final transmittance and its cotangent.
-    is_new_tile = jnp.where(
-        rc == mc - 1, True, ct_ref[jnp.minimum(rc + 1, mc - 1)] != t
-    )
-    gT = gout_ref[0, 6:7, :]
+    for j in range(G - 1, -1, -1):
+        rc = blk * G + j
+        t = ct_ref[rc]
+        ox = ((t % dims.tx) * dims.ts).astype(jnp.float32)
+        oy = ((t // dims.tx) * dims.ts).astype(jnp.float32)
 
-    @pl.when(is_new_tile)
-    def _():
-        r_ref[...] = tfin_ref[0] * gT
+        # Reversed traversal: the first chunk of a tile we encounter is
+        # that tile's LAST chunk -> initialize the suffix accumulator from
+        # the final transmittance and its cotangent.
+        is_new_tile = jnp.where(
+            rc == mc - 1, True, ct_ref[jnp.minimum(rc + 1, mc - 1)] != t
+        )
+        gT = gout_ref[j, 6:7, :]
 
-    G5 = gout_ref[0, 0:5, :]
-    T_in = chunk_t_ref[0]  # [1, px]
-    grad_ref[...] = jnp.zeros(grad_ref.shape, grad_ref.dtype)
+        @pl.when(is_new_tile)
+        def _():
+            r_ref[...] = tfin_ref[j] * gT
+
+        G5 = gout_ref[j, 0:5, :]
+        T_in = chunk_t_ref[j]  # [1, px]
+        grad_ref[j] = jnp.zeros((N_ATTR, K), grad_ref.dtype)
+
+        _flat_chunk_grad(
+            packed_ref, grad_ref, r_ref, pbas_ref, tri_ref, utri_ref,
+            j, T_in, G5, ox, oy, dims,
+        )
+
+
+def _flat_chunk_grad(
+    packed_ref, grad_ref, r_ref, pbas_ref, tri_ref, utri_ref,
+    j, T_in, G5, ox, oy, dims: _Dims,
+):
+    px, K = dims.px, dims.K
 
     @pl.when(jnp.max(T_in) > 0.0)
     def _():
         done = T_in <= 0.0
-        chunk = packed_ref[0]
+        chunk = packed_ref[j]
         if dims.exact:
             _b, alpha, unclamped, apply, T_pref, w, _T_out, _d = _chunk_common(
                 chunk, tri_ref[...], pbas_ref[...], T_in, done, ox, oy, dims
@@ -1579,7 +1616,7 @@ def _flat_bwd_kernel(
         d_cb = -(mu * mv * S0 - mu * S1v - mv * S1u + S2uv)
         d_cc = -0.5 * (mv * mv * S0 - 2.0 * mv * S1v + S2vv)
         d_op = S0 / jnp.maximum(op, 1e-12)
-        grad_ref[0] = jnp.concatenate(
+        grad_ref[j] = jnp.concatenate(
             [d_mu, d_mv, d_ca, d_cb, d_cc, d_op, WGrows[0:4, :],
              jnp.zeros((16 - _N_GRAD, K), jnp.float32)],
             axis=0,
@@ -1597,31 +1634,46 @@ def _blend_flat(packed, ct, cp, dims: _Dims, interpret: bool):
     return out
 
 
+def _pad_chunks(packed, ct, cp, dims: _Dims):
+    """Pad the chunk axis to a multiple of ``dims.group`` with dead chunks
+    (tile = padding tile, pos = 0, zero attributes). Deterministic — the
+    VJP backward re-derives the identical padding from the residuals."""
+    MC0 = packed.shape[0]
+    G = dims.group
+    MCp = -(-MC0 // G) * G
+    if MCp == MC0:
+        return packed, ct, cp, MCp
+    pad = MCp - MC0
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((pad,) + packed.shape[1:], packed.dtype)], 0
+    )
+    ct = jnp.concatenate([ct, jnp.full((pad,), dims.n_tiles, jnp.int32)], 0)
+    cp = jnp.concatenate([cp, jnp.zeros((pad,), jnp.int32)], 0)
+    return packed, ct, cp, MCp
+
+
 def _blend_flat_fwd_impl(packed, ct, cp, dims: _Dims, interpret: bool):
-    MC = packed.shape[0]
     Tp1 = dims.n_tiles + 1
-    out, chunk_t, tfin = pl.pallas_call(
+    G = dims.group
+    packed_p, ct_p, cp_p, MCp = _pad_chunks(packed, ct, cp, dims)
+    snap, chunk_t = pl.pallas_call(
         functools.partial(_flat_fwd_kernel, dims=dims),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(MC,),
+            grid=(MCp // G,),
             in_specs=[
                 pl.BlockSpec(
-                    (1, N_ATTR, dims.K), lambda c, ct, cp: (c, 0, 0),
+                    (G, N_ATTR, dims.K), lambda g, ct, cp: (g, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=[
                 pl.BlockSpec(
-                    (1, 8, dims.px), lambda c, ct, cp: (ct[c], 0, 0),
+                    (G, 8, dims.px), lambda g, ct, cp: (g, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, 1, dims.px), lambda c, ct, cp: (c, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, 1, dims.px), lambda c, ct, cp: (ct[c], 0, 0),
+                    (G, 1, dims.px), lambda g, ct, cp: (g, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
@@ -1632,12 +1684,24 @@ def _blend_flat_fwd_impl(packed, ct, cp, dims: _Dims, interpret: bool):
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((Tp1, 8, dims.px), jnp.float32),
-            jax.ShapeDtypeStruct((MC, 1, dims.px), jnp.float32),
-            jax.ShapeDtypeStruct((Tp1, 1, dims.px), jnp.float32),
+            jax.ShapeDtypeStruct((MCp, 8, dims.px), jnp.float32),
+            jax.ShapeDtypeStruct((MCp, 1, dims.px), jnp.float32),
         ],
         interpret=interpret,
-    )(ct, cp, packed)
+    )(ct_p, cp_p, packed_p)
+    # Per-tile final state = the snapshot written by the tile's LAST chunk
+    # (ct is tile-sorted, so "last" = the chunk whose successor has a
+    # different tile). Tiles with no chunks get the empty-blend default.
+    cid = jnp.arange(MCp, dtype=jnp.int32)
+    nxt = jnp.concatenate([ct_p[1:], jnp.full((1,), -2, jnp.int32)], 0)
+    is_last = ct_p != nxt
+    last1 = jnp.zeros((Tp1,), jnp.int32).at[ct_p].max(
+        jnp.where(is_last, cid + 1, 0)
+    )
+    default = jnp.zeros((1, 8, dims.px), jnp.float32).at[0, 6, :].set(1.0)
+    snap_ext = jnp.concatenate([snap, default], axis=0)
+    out = snap_ext[jnp.where(last1 > 0, last1 - 1, MCp)]
+    tfin = out[:, 6:7, :]
     return out, chunk_t, tfin
 
 
@@ -1648,33 +1712,44 @@ def _blend_flat_vjp_fwd(packed, ct, cp, dims: _Dims, interpret: bool):
 
 def _blend_flat_vjp_bwd(dims: _Dims, interpret: bool, res, g_out):
     packed, ct, cp, chunk_t, tfin = res
-    MC = packed.shape[0]
+    MC0 = packed.shape[0]
+    G = dims.group
+    packed_p, ct_p, cp_p, MCp = _pad_chunks(packed, ct, cp, dims)
+    # Pre-gather the per-tile cotangent / final-T to CHUNK layout so the
+    # kernel's block index maps stay chunk-major (multi-chunk blocks can
+    # span tiles; a tile-indexed block spec cannot).
+    gout_c = g_out[ct_p]
+    tfin_c = tfin[ct_p]
     grads = pl.pallas_call(
-        functools.partial(_flat_bwd_kernel, dims=dims, mc=MC),
+        functools.partial(_flat_bwd_kernel, dims=dims, mc=MCp),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(MC,),
+            grid=(MCp // G,),
             in_specs=[
                 pl.BlockSpec(
-                    (1, N_ATTR, dims.K),
-                    lambda c, ct, cp: (MC - 1 - c, 0, 0),
+                    (G, N_ATTR, dims.K),
+                    lambda g, ct, cp: (MCp // G - 1 - g, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, 1, dims.px), lambda c, ct, cp: (MC - 1 - c, 0, 0),
+                    (G, 1, dims.px),
+                    lambda g, ct, cp: (MCp // G - 1 - g, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, 1, dims.px), lambda c, ct, cp: (ct[MC - 1 - c], 0, 0),
+                    (G, 1, dims.px),
+                    lambda g, ct, cp: (MCp // G - 1 - g, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (1, 8, dims.px), lambda c, ct, cp: (ct[MC - 1 - c], 0, 0),
+                    (G, 8, dims.px),
+                    lambda g, ct, cp: (MCp // G - 1 - g, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, N_ATTR, dims.K), lambda c, ct, cp: (MC - 1 - c, 0, 0),
+                (G, N_ATTR, dims.K),
+                lambda g, ct, cp: (MCp // G - 1 - g, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
@@ -1684,10 +1759,10 @@ def _blend_flat_vjp_bwd(dims: _Dims, interpret: bool, res, g_out):
                 pltpu.VMEM((dims.K, dims.K), jnp.bfloat16),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((MC, N_ATTR, dims.K), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((MCp, N_ATTR, dims.K), jnp.float32),
         interpret=interpret,
-    )(ct, cp, packed, chunk_t, tfin, g_out)
-    return grads, None, None
+    )(ct_p, cp_p, packed_p, chunk_t, tfin_c, gout_c)
+    return grads[:MC0], None, None
 
 
 _blend_flat.defvjp(_blend_flat_vjp_fwd, _blend_flat_vjp_bwd)

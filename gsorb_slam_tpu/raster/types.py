@@ -62,6 +62,12 @@ class RasterConfig:
     # Static chunk budget for the flat-chunk mapping path (ChunkBins):
     # supports up to chunk_budget * chunk live tile-instances per view.
     chunk_budget: int = dataclasses.field(default=8192, metadata=dict(static=True))
+    # Chunks processed per grid step in the FLAT blend kernels (the mapping
+    # path): amortizes the fixed per-grid-step cost the same way
+    # fused_tiles_per_step does for tracking. The chunk budget is padded to
+    # a multiple of this; per-tile state still flows through scratch, and
+    # the per-tile outputs become a last-chunk-snapshot gather in XLA.
+    flat_group: int = dataclasses.field(default=4, metadata=dict(static=True))
     # Tiles processed per grid step in the fused tracking kernel (fast
     # path): amortizes the ~1.3us fixed per-grid-step cost. The tile count
     # is padded to a multiple of this.

@@ -510,3 +510,41 @@ def test_flat_blend_elem_bf16_close_to_f32(rng):
     l1_f = float((np.abs(np.asarray(o_f.color) - gt_c).sum(-1) * m).sum())
     l1_e = float((np.abs(np.asarray(o_e.color) - gt_c).sum(-1) * m).sum())
     np.testing.assert_allclose(l1_e, l1_f, rtol=2e-3)
+
+
+@pytest.mark.slow
+def test_flat_group_invariance(rng):
+    """``flat_group`` (chunks per grid step in the flat blend) is a pure
+    scheduling knob: outputs and parameter gradients must be bit-identical
+    across group sizes, including a chunk budget that is NOT a multiple of
+    the group (exercising the dead-chunk padding path)."""
+    from gsorb_slam_tpu.raster.binning import chunk_layout, tile_grid_shape
+    from gsorb_slam_tpu.raster.pallas_raster import render_pallas_flat
+
+    cam = tiny_camera()
+    scene = random_cloud_scene(rng, n=300, capacity=384)
+    results = {}
+    for G in (1, 3, 4):
+        cfg = RasterConfig(tile=16, tile_capacity=256, max_dup=16, chunk=64,
+                           exact_stop=False, chunk_budget=42, flat_group=G)
+        prep = _prep(scene, cam)
+        bins = bin_gaussians(prep, cam, cfg)
+        ty, tx = tile_grid_shape(cam, cfg)
+        cbins = chunk_layout(bins, ty * tx, cfg.chunk, cfg.chunk_budget)
+
+        def loss(lop):
+            s = dict(scene)
+            p = preprocess(
+                s["means"], s["rgb"], s["quats"], lop, s["log_scales"],
+                s["active"], identity_pose(), cam,
+            )
+            o = render_pallas_flat(p, cbins, cam, cfg, interpret=True)
+            return (jnp.sum(o.color ** 2) + jnp.sum(o.depth)
+                    + jnp.sum(o.alpha * o.final_t))
+
+        l, g = jax.value_and_grad(loss)(scene["logit_opacities"])
+        results[G] = (float(l), np.asarray(g))
+    for G in (3, 4):
+        np.testing.assert_allclose(results[G][0], results[1][0], rtol=1e-6)
+        np.testing.assert_allclose(results[G][1], results[1][1],
+                                   atol=1e-6, rtol=1e-5)
