@@ -46,6 +46,12 @@ def main() -> None:
     ap.add_argument("--bucket-floor", type=int, default=0,
                     help="floor for the live-splat program bucket (pay one "
                          "compile generation when the final size is known)")
+    ap.add_argument("--blend-bf16", action="store_true",
+                    help="bf16 MXU cumsum mode in the blend kernels "
+                         "(RasterConfig.blend_bf16) — quality-twin runs "
+                         "gate flipping the production default")
+    ap.add_argument("--elem-bf16", action="store_true",
+                    help="bf16 elementwise slab mode (RasterConfig.elem_bf16)")
     ap.add_argument("--loop", action="store_true",
                     help="enable loop closing (auto-loads the packaged ORB "
                          "vocabulary; the sinusoidal sweep returns to its "
@@ -109,12 +115,18 @@ def main() -> None:
         debug=DebugConfig(use_loop=args.loop),
     )
     raster = None
-    if args.dilate is not None:
+    if args.dilate is not None or args.blend_bf16 or args.elem_bf16:
         import dataclasses as _dc
 
         from gsorb_slam_tpu.slam.system import System as _S
 
-        raster = _dc.replace(_S.default_raster_config(args.width), dilate_px=args.dilate)
+        raster = _S.default_raster_config(args.width)
+        if args.dilate is not None:
+            raster = _dc.replace(raster, dilate_px=args.dilate)
+        if args.blend_bf16:
+            raster = _dc.replace(raster, blend_bf16=True)
+        if args.elem_bf16:
+            raster = _dc.replace(raster, elem_bf16=True)
     sys_ = System(cfg, max_keyframes=128, frontend=args.frontend, raster=raster)
     if args.bucket_floor:
         sys_.prefix_bucket_floor = args.bucket_floor
