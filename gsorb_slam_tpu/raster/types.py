@@ -61,6 +61,12 @@ class RasterConfig:
     elem_bf16: bool = dataclasses.field(default=False, metadata=dict(static=True))
     # Static chunk budget for the flat-chunk mapping path (ChunkBins):
     # supports up to chunk_budget * chunk live tile-instances per view.
+    # HBM note: the grouped flat kernels size three [chunk_budget, 8, px]
+    # f32 buffers (forward snapshots + the backward's pre-gathered
+    # cotangent/final-T) by this budget — ~67 MB each at 8192/px=256 — so
+    # mapping-path HBM footprint/traffic scales with chunk_budget, not with
+    # the live tile count. Watch headroom before raising it for denser
+    # scenes.
     chunk_budget: int = dataclasses.field(default=8192, metadata=dict(static=True))
     # Chunks processed per grid step in the FLAT blend kernels (the mapping
     # path): amortizes the fixed per-grid-step cost the same way

@@ -8,9 +8,19 @@ export PYTHONPATH=/root/.axon_site:/root/repo
 export JAX_PLATFORMS=axon
 cd /root/repo
 
-# Wait for the r3b sequence (if any) to release the TPU.
-while ! grep -q "sequence done" /tmp/r3b_sequence.log 2>/dev/null; do
+# Wait for the r3b sequence (if any) to release the TPU. The sequence
+# script does not write this log itself — it only exists when the caller
+# redirected stdout there — so skip the wait when the file is absent and
+# bound it either way (the sequence never legitimately runs >3h).
+waited=0
+while [ -f /tmp/r3b_sequence.log ] \
+    && ! grep -q "sequence done" /tmp/r3b_sequence.log 2>/dev/null; do
   sleep 60
+  waited=$((waited + 60))
+  if [ "$waited" -ge 10800 ]; then
+    echo "WARN: r3b sequence log never completed after 3h; proceeding" >&2
+    break
+  fi
 done
 
 for mode in f32 bf16; do

@@ -515,9 +515,11 @@ def test_flat_blend_elem_bf16_close_to_f32(rng):
 @pytest.mark.slow
 def test_flat_group_invariance(rng):
     """``flat_group`` (chunks per grid step in the flat blend) is a pure
-    scheduling knob: outputs and parameter gradients must be bit-identical
-    across group sizes, including a chunk budget that is NOT a multiple of
-    the group (exercising the dead-chunk padding path)."""
+    scheduling knob: outputs and parameter gradients must agree across
+    group sizes to float-roundoff (asserted at rtol~1e-6 in interpret
+    mode; compiled-TPU parity for G>1 is covered by the tpu_smoke gate run
+    in bench.py), including a chunk budget that is NOT a multiple of the
+    group (exercising the dead-chunk padding path)."""
     from gsorb_slam_tpu.raster.binning import chunk_layout, tile_grid_shape
     from gsorb_slam_tpu.raster.pallas_raster import render_pallas_flat
 
