@@ -189,37 +189,155 @@ def pose_graph_optimization(
     """SE3 pose-graph optimization — the RGB-D (fixed-scale) analog of
     ``OptimizeEssentialGraph`` (``src/Optimizer.cc:782-1045``).
 
-    Residual per edge: ``log( rel_ij^{-1} · T_i · T_j^{-1} )``; batched
-    Gauss-Seidel on per-node 6x6 systems with identity-approximated residual
-    Jacobians (right/left perturbation) — accurate for the small angular
-    errors loop correction distributes.
+    Residual per edge: ``r = log( rel_ij^{-1} · T_i · T_j^{-1} )``. Batched
+    Gauss-Seidel on per-node 6x6 normal equations with the exact
+    left-perturbation Jacobians at r -> 0:
+
+        T_i <- exp(d_i) T_i  =>  err = exp(Ad(rel^{-1}) d_i) err,
+        T_j <- exp(d_j) T_j  =>  err = err exp(-d_j),
+
+    i.e. ``J_i = Ad(rel_ij^{-1})``, ``J_j = -I`` (the r3 scalar-H /
+    identity-J sweep diverged from g2o at 10x accumulated drift — the
+    stress test in tests/test_graph.py; the adjoint carries the rotation
+    coupling that matters at large relative rotations).
+    """
+    from gsorb_slam_tpu.core.transforms import invert_se3, se3_log
+
+    K = poses.shape[0]
+    E = edge_i.shape[0]
+
+    def _hat(v):  # [..., 3] -> [..., 3, 3]
+        z = jnp.zeros_like(v[..., 0])
+        return jnp.stack([
+            jnp.stack([z, -v[..., 2], v[..., 1]], -1),
+            jnp.stack([v[..., 2], z, -v[..., 0]], -1),
+            jnp.stack([-v[..., 1], v[..., 0], z], -1),
+        ], -2)
+
+    def _adjoint(T):  # [..., 4, 4] -> [..., 6, 6], xi = [rho, phi]
+        R = T[..., :3, :3]
+        t = T[..., :3, 3]
+        top = jnp.concatenate([R, jnp.matmul(_hat(t), R)], axis=-1)
+        bot = jnp.concatenate([jnp.zeros_like(R), R], axis=-1)
+        return jnp.concatenate([top, bot], axis=-2)
+
+    rel_inv = invert_se3(rel_ij)
+    A = _adjoint(rel_inv)  # [E, 6, 6] — constant across sweeps
+    AtA = jnp.einsum("eki,ekj->eij", A, A)  # J_i^T J_i
+    I6 = jnp.eye(6)
+
+    def sweep(_, poses):
+        Ti = poses[edge_i]
+        Tj = poses[edge_j]
+        err = jnp.matmul(rel_inv, jnp.matmul(Ti, invert_se3(Tj)))  # [E,4,4]
+        r = se3_log(err)  # [E, 6]
+        w = edge_w[:, None]
+        H = (
+            jnp.zeros((K, 6, 6))
+            .at[edge_i].add(edge_w[:, None, None] * AtA)
+            .at[edge_j].add(edge_w[:, None, None] * I6)
+        )
+        Atr = jnp.einsum("eki,ek->ei", A, r)  # J_i^T r
+        b = jnp.zeros((K, 6)).at[edge_i].add(w * Atr).at[edge_j].add(-w * r)
+        dx = -jnp.linalg.solve(H + damping * I6 + 1e-6 * I6, b[..., None])[..., 0]
+        dx = jnp.where(fixed_mask[:, None], 0.0, 0.5 * dx)
+        return jax.vmap(lambda xi, T: se3_exp(xi) @ T)(dx, poses)
+
+    del E
+    return jax.lax.fori_loop(0, iters, sweep, poses)
+
+
+def sim3_pose_graph_optimization(
+    poses: jnp.ndarray,  # [K, 4, 4] T_cw (SE3)
+    log_scales: jnp.ndarray,  # [K] per-node log-scale (0 = metric)
+    edge_i: jnp.ndarray,  # [E] int32
+    edge_j: jnp.ndarray,  # [E] int32
+    rel_ij: jnp.ndarray,  # [E, 4, 4] measured SE3 part of S_i ∘ S_j^{-1}
+    rel_ls: jnp.ndarray,  # [E] measured log-scale part
+    edge_w: jnp.ndarray,  # [E] weights
+    fixed_mask: jnp.ndarray,  # [K] bool
+    iters: int = 50,
+    damping: float = 1e-3,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """7-DoF Sim3 essential-graph optimization
+    (``OptimizeEssentialGraph`` ``src/Optimizer.cc:782-1045``).
+
+    Each node is a Sim3 ``S = (s, R, t): x -> s R x + t`` stored as an SE3
+    matrix plus a log-scale. Residual per edge:
+    ``E = S_rel^{-1} ∘ S_i ∘ S_j^{-1}`` with ``r = [se3_log(R_E, t_E),
+    log s_E]``. Batched Gauss-Seidel with the same small-error ±identity
+    Jacobian scheme as :func:`pose_graph_optimization`; the log-scale
+    component is exactly linear (``log s_E = rel_ls^{-1} + ls_i - ls_j``),
+    so scale drift distributes like a graph Laplacian solve — the
+    monocular loop-closure capability the SE3 graph lacks
+    (``src/LoopClosing.cc:234`` mbFixScale=false for mono).
+
+    Returns (poses', log_scales'); callers absorb scale metrically via
+    ``T = [R, t / s]`` (the reference's Converter on g2o::Sim3 output).
     """
     from gsorb_slam_tpu.core.transforms import invert_se3, se3_log
 
     K = poses.shape[0]
 
-    def sweep(_, poses):
-        Ti = poses[edge_i]
-        Tj = poses[edge_j]
-        err = jnp.matmul(
-            invert_se3(rel_ij), jnp.matmul(Ti, invert_se3(Tj))
-        )  # [E, 4, 4]
-        r = se3_log(err)  # [E, 6]
-        w = edge_w[:, None]
-        # J wrt xi_i ~ +I, wrt xi_j ~ -Ad(T_i T_j^{-1}) ~ -I (small-error approx)
-        H = jnp.zeros((K,)).at[edge_i].add(edge_w).at[edge_j].add(edge_w)
-        b = (
-            jnp.zeros((K, 6))
-            .at[edge_i]
-            .add(w * r)
-            .at[edge_j]
-            .add(-w * r)
+    def compose(sa, Ra, ta, sb, Rb, tb):
+        return (
+            sa * sb,
+            jnp.matmul(Ra, Rb),
+            sa[..., None] * jnp.einsum("...ij,...j->...i", Ra, tb) + ta,
         )
-        dx = -b / (H[:, None] + damping)
-        dx = jnp.where(fixed_mask[:, None], 0.0, 0.5 * dx)
-        return jax.vmap(lambda xi, T: se3_exp(xi) @ T)(dx, poses)
 
-    return jax.lax.fori_loop(0, iters, sweep, poses)
+    def inverse(s, R, t):
+        Rt = jnp.swapaxes(R, -1, -2)
+        return (
+            1.0 / s,
+            Rt,
+            -(1.0 / s)[..., None] * jnp.einsum("...ij,...j->...i", Rt, t),
+        )
+
+    rel_R = rel_ij[:, :3, :3]
+    rel_t = rel_ij[:, :3, 3]
+    rel_s = jnp.exp(rel_ls)
+
+    def sweep(_, state):
+        poses, ls = state
+        si = jnp.exp(ls[edge_i])
+        sj = jnp.exp(ls[edge_j])
+        Ri = poses[edge_i][:, :3, :3]
+        ti = poses[edge_i][:, :3, 3]
+        Rj = poses[edge_j][:, :3, :3]
+        tj = poses[edge_j][:, :3, 3]
+        # E = rel^{-1} ∘ S_i ∘ S_j^{-1}
+        sji, Rji, tji = inverse(sj, Rj, tj)
+        s1, R1, t1 = compose(si, Ri, ti, sji, Rji, tji)
+        sr, Rr, tr = inverse(rel_s, rel_R, rel_t)
+        sE, RE, tE = compose(sr, Rr, tr, s1, R1, t1)
+        TE = (
+            jnp.zeros((edge_i.shape[0], 4, 4))
+            .at[:, :3, :3].set(RE)
+            .at[:, :3, 3].set(tE)
+            .at[:, 3, 3].set(1.0)
+        )
+        r6 = se3_log(TE)  # [E, 6]
+        rs = jnp.log(jnp.maximum(sE, 1e-12))  # [E]
+        w = edge_w[:, None]
+        H = jnp.zeros((K,)).at[edge_i].add(edge_w).at[edge_j].add(edge_w)
+        b6 = jnp.zeros((K, 6)).at[edge_i].add(w * r6).at[edge_j].add(-w * r6)
+        bs = (
+            jnp.zeros((K,))
+            .at[edge_i].add(edge_w * rs)
+            .at[edge_j].add(-edge_w * rs)
+        )
+        dx = -b6 / (H[:, None] + damping)
+        dx = jnp.where(fixed_mask[:, None], 0.0, 0.5 * dx)
+        ds = -bs / (H + damping)
+        ds = jnp.where(fixed_mask, 0.0, 0.5 * ds)
+        # left-apply exp([rho, phi]) to the SE3 part; scale is additive in
+        # log-space and commutes through the update.
+        poses = jax.vmap(lambda xi, T: se3_exp(xi) @ T)(dx, poses)
+        return poses, ls + ds
+
+    poses, ls = jax.lax.fori_loop(0, iters, sweep, (poses, log_scales))
+    return poses, ls
 
 
 class LocalBAResult(NamedTuple):

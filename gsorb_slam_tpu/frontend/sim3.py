@@ -104,19 +104,24 @@ def optimize_sim3_reprojection(
     iters: int = 10,
     chi2_th: float = 10.0,
     damping: float = 1e-4,
+    fix_scale: bool = True,
+    log_s_init: jnp.ndarray | float = 0.0,
 ):
     """Image-plane refinement of the loop-closure transform — the
     ``Optimizer::OptimizeSim3`` equivalent (``src/Optimizer.cc:1047``):
-    bidirectional reprojection edges (point-2 through T12 into image 1,
-    point-1 through T12^-1 into image 2) with Huber(sqrt(10)) and a
-    final chi2 <= 10 inlier gate on BOTH edges, as 6-DoF Gauss-Newton
-    (scale fixed: RGB-D ``mbFixScale``, ``src/LoopClosing.cc:234``).
+    bidirectional reprojection edges (point-2 through S12 into image 1,
+    point-1 through S12^-1 into image 2) with Huber(sqrt(10)) and a
+    final chi2 <= 10 inlier gate on BOTH edges, as Gauss-Newton over
+    SE3 (``fix_scale=True``: RGB-D/stereo ``mbFixScale``,
+    ``src/LoopClosing.cc:234``) or full 7-DoF Sim3 (monocular: the scale
+    DoF rides a log-scale parameter, ``x1 = e^sigma R x2 + t``).
 
     Materially better than a 3D-point Horn refit when depth error
     dominates: image-plane residuals weight what the cameras actually
-    measured. Returns (T12, inlier mask, n_inliers).
+    measured. Returns (T12, log_s, inlier mask, n_inliers).
     """
     huber = jnp.sqrt(chi2_th)
+    dof = 6 if fix_scale else 7
 
     def proj(xc):
         z = jnp.maximum(xc[:, 2], 1e-3)
@@ -125,13 +130,14 @@ def optimize_sim3_reprojection(
             -1,
         )
 
-    def residuals(xi, T12):
-        T = se3_exp6(xi) @ T12
+    def residuals(xi, T12, ls):
+        T = se3_exp6(xi[:6]) @ T12
+        s = jnp.exp(ls + (0.0 if fix_scale else xi[6]))
         Rm, tm = T[:3, :3], T[:3, 3]
-        y1 = xc2 @ Rm.T + tm  # into camera 1
+        y1 = s * (xc2 @ Rm.T) + tm  # into camera 1 (x1 = s R x2 + t)
         r1 = proj(y1) - uv1
-        # inverse transform into camera 2
-        y2 = (xc1 - tm) @ Rm
+        # inverse transform into camera 2: x2 = (1/s) R^T (x1 - t)
+        y2 = (xc1 - tm) @ Rm / s
         r2 = proj(y2) - uv2
         good = valid & (y1[:, 2] > 1e-2) & (y2[:, 2] > 1e-2)
         r = jnp.concatenate([r1, r2], axis=-1)  # [M, 4]
@@ -142,11 +148,12 @@ def optimize_sim3_reprojection(
         c2 = inv_sigma2_2 * jnp.sum(r[:, 2:] ** 2, -1)
         return c1, c2
 
-    def it(_, T12):
-        zero = jnp.zeros(6, jnp.float32)
-        (r, good), Jfn = (residuals(zero, T12),
-                          jax.jacfwd(lambda x: residuals(x, T12)[0]))
-        J = Jfn(zero)  # [M, 4, 6]
+    def it(_, carry):
+        T12, ls = carry
+        zero = jnp.zeros(dof, jnp.float32)
+        (r, good), Jfn = (residuals(zero, T12, ls),
+                          jax.jacfwd(lambda x: residuals(x, T12, ls)[0]))
+        J = Jfn(zero)  # [M, 4, dof]
         c1, c2 = chi2_of(r)
         w1 = inv_sigma2_1 * _huber_w(c1, huber)
         w2 = inv_sigma2_2 * _huber_w(c2, huber)
@@ -155,17 +162,21 @@ def optimize_sim3_reprojection(
         )  # [M, 4]
         w = w * good[:, None]
         JtW = J * w[:, :, None]
-        H = jnp.einsum("mri,mrj->ij", JtW, J) + damping * jnp.eye(6)
+        H = jnp.einsum("mri,mrj->ij", JtW, J) + damping * jnp.eye(dof)
         b = jnp.einsum("mri,mr->i", JtW, r)
         dx = -jnp.linalg.solve(H, b)
-        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros(6))
-        return se3_exp6(dx) @ T12
+        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, jnp.zeros(dof))
+        T12 = se3_exp6(dx[:6]) @ T12
+        if not fix_scale:
+            ls = ls + dx[6]
+        return T12, ls
 
-    T12 = jax.lax.fori_loop(0, iters, it, T12_init)
-    r, good = residuals(jnp.zeros(6, jnp.float32), T12)
+    ls0 = jnp.asarray(log_s_init, jnp.float32)
+    T12, ls = jax.lax.fori_loop(0, iters, it, (T12_init, ls0))
+    r, good = residuals(jnp.zeros(dof, jnp.float32), T12, ls)
     c1, c2 = chi2_of(r)
     inl = good & (c1 <= chi2_th) & (c2 <= chi2_th)
-    return T12, inl, jnp.sum(inl.astype(jnp.int32))
+    return T12, ls, inl, jnp.sum(inl.astype(jnp.int32))
 
 
 def _huber_w(chi2, delta):

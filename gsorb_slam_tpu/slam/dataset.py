@@ -558,3 +558,193 @@ def open_dataset(kind: str, path: str, depth_factor: float) -> RGBDDataset:
     if kind == "scannet":
         return ScanNetDataset(path, depth_factor if depth_factor != 5000.0 else 1000.0)
     raise ValueError(f"unknown dataset type: {kind}")
+
+
+# --------------------------------------------------------------------------
+# Monocular / stereo sequence loaders (Examples/{Monocular,Stereo} parity).
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class MonoFrame:
+    timestamp: float
+    rgb: np.ndarray  # [H, W, 3] float32 in [0, 1]
+    gt_T_cw: Optional[np.ndarray] = None
+
+
+@dataclasses.dataclass
+class StereoFrame:
+    timestamp: float
+    left: np.ndarray  # [H, W, 3] float32 in [0, 1]
+    right: np.ndarray  # [H, W, 3] float32 in [0, 1]
+    gt_T_cw: Optional[np.ndarray] = None
+
+
+class MonoTumDataset:
+    """Monocular TUM sequence: rgb.txt only (``Examples/Monocular/
+    mono_tum.cc`` LoadImages reads rgb.txt, no depth association)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.items = []
+        with open(os.path.join(root, "rgb.txt")) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                t, p = line.split()[:2]
+                self.items.append((float(t), os.path.join(root, p)))
+        # groundtruth.txt is optional, for offline ATE only
+        gt_path = os.path.join(root, "groundtruth.txt")
+        self.gt = TUMDataset._load_gt(self, gt_path)
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i) -> MonoFrame:
+        t, p = self.items[i]
+        return MonoFrame(
+            timestamp=t, rgb=_imread_color(p), gt_T_cw=TUMDataset._gt_pose(self, t)
+        )
+
+
+class KittiStereoDataset:
+    """KITTI odometry stereo: ``image_0/`` (left gray), ``image_1/`` (right
+    gray), ``times.txt`` (``Examples/Stereo/stereo_kitti.cc`` LoadImages).
+    With ``mono=True`` only image_0 is read (``mono_kitti.cc``)."""
+
+    def __init__(self, root: str, mono: bool = False):
+        self.root = root
+        self.mono = mono
+        with open(os.path.join(root, "times.txt")) as f:
+            self.times = [float(x) for x in f.read().split() if x.strip()]
+        left_dir = os.path.join(root, "image_0")
+        names = sorted(os.listdir(left_dir))
+        self.left = [os.path.join(left_dir, n) for n in names]
+        if not mono:
+            right_dir = os.path.join(root, "image_1")
+            self.right = [os.path.join(right_dir, n) for n in names]
+        n = min(len(self.times), len(self.left))
+        self.times, self.left = self.times[:n], self.left[:n]
+        if not mono:
+            self.right = self.right[:n]
+
+    def __len__(self):
+        return len(self.left)
+
+    def __getitem__(self, i):
+        if self.mono:
+            return MonoFrame(timestamp=self.times[i], rgb=_imread_color(self.left[i]))
+        return StereoFrame(
+            timestamp=self.times[i],
+            left=_imread_color(self.left[i]),
+            right=_imread_color(self.right[i]),
+        )
+
+
+class StereoSyntheticDataset:
+    """Rectified stereo pairs rendered from ONE synthetic splat scene: the
+    right camera is the left pose shifted by ``baseline`` along camera +x
+    (x_right = x_left - b), sharing the scene via the seed."""
+
+    def __init__(self, cam, baseline: float, n_frames: int = 10, **kw):
+        left = SyntheticDataset(cam, n_frames=n_frames, **kw)
+        T_b = np.eye(4, dtype=np.float32)
+        T_b[0, 3] = -baseline
+        right = SyntheticDataset(
+            cam, trajectory=[T_b @ T for T in left.poses], **kw
+        )
+        self.cam = cam
+        self._left, self._right = left, right
+
+    def __len__(self):
+        return len(self._left)
+
+    def __getitem__(self, i) -> StereoFrame:
+        lf, rf = self._left[i], self._right[i]
+        return StereoFrame(
+            timestamp=lf.timestamp, left=lf.rgb, right=rf.rgb, gt_T_cw=lf.gt_T_cw
+        )
+
+
+def export_tum_format(
+    ds, root: str, fps: float = 30.0, t0: float = 1305031102.0,
+    jitter_ms: float = 4.0, seed: int = 0,
+) -> None:
+    """Write an RGB-D dataset to disk in the REAL TUM sequence layout:
+    ``rgb/*.png`` (8-bit), ``depth/*.png`` (16-bit, meters x 5000),
+    ``rgb.txt`` / ``depth.txt`` index files with independently jittered
+    timestamps (so the association step is genuinely exercised, as in
+    ``scripts/associate.py``), and ``groundtruth.txt``
+    (``t x y z qx qy qz qw`` of T_wc, the TUM convention).
+
+    This is the no-egress rehearsal path for the reference protocol
+    (``Examples/RGB-D/rgbd_tum.cc:40-70``): export a synthetic sequence,
+    then run the stock ``scripts/run_tum.sh`` command against it.
+    """
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(root, "depth"), exist_ok=True)
+    rgb_lines = ["# color images", "# timestamp filename"]
+    d_lines = ["# depth images", "# timestamp filename"]
+    gt_lines = ["# ground truth trajectory", "# timestamp tx ty tz qx qy qz qw"]
+    for i in range(len(ds)):
+        fr = ds[i]
+        t_rgb = t0 + i / fps + rng.uniform(-jitter_ms, jitter_ms) * 1e-3
+        t_d = t0 + i / fps + rng.uniform(-jitter_ms, jitter_ms) * 1e-3
+        rgb8 = np.clip(np.asarray(fr.rgb) * 255.0, 0, 255).astype(np.uint8)
+        d16 = np.clip(np.asarray(fr.depth) * 5000.0, 0, 65535).astype(np.uint16)
+        rgb_name = f"rgb/{t_rgb:.6f}.png"
+        d_name = f"depth/{t_d:.6f}.png"
+        cv2.imwrite(os.path.join(root, rgb_name),
+                    cv2.cvtColor(rgb8, cv2.COLOR_RGB2BGR))
+        cv2.imwrite(os.path.join(root, d_name), d16)
+        rgb_lines.append(f"{t_rgb:.6f} {rgb_name}")
+        d_lines.append(f"{t_d:.6f} {d_name}")
+        if fr.gt_T_cw is not None:
+            T_wc = np.linalg.inv(fr.gt_T_cw)
+            tx, ty, tz = T_wc[:3, 3]
+            qw, qx, qy, qz = _R_to_quat(T_wc[:3, :3])
+            gt_lines.append(
+                f"{t_rgb:.6f} {tx:.6f} {ty:.6f} {tz:.6f} "
+                f"{qx:.6f} {qy:.6f} {qz:.6f} {qw:.6f}"
+            )
+    with open(os.path.join(root, "rgb.txt"), "w") as f:
+        f.write("\n".join(rgb_lines) + "\n")
+    with open(os.path.join(root, "depth.txt"), "w") as f:
+        f.write("\n".join(d_lines) + "\n")
+    if len(gt_lines) > 2:
+        with open(os.path.join(root, "groundtruth.txt"), "w") as f:
+            f.write("\n".join(gt_lines) + "\n")
+
+
+def _R_to_quat(R: np.ndarray):
+    """Rotation matrix -> (w, x, y, z)."""
+    tr = np.trace(R)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        w = 0.25 * s
+        x = (R[2, 1] - R[1, 2]) / s
+        y = (R[0, 2] - R[2, 0]) / s
+        z = (R[1, 0] - R[0, 1]) / s
+    elif R[0, 0] > R[1, 1] and R[0, 0] > R[2, 2]:
+        s = np.sqrt(1.0 + R[0, 0] - R[1, 1] - R[2, 2]) * 2
+        w = (R[2, 1] - R[1, 2]) / s
+        x = 0.25 * s
+        y = (R[0, 1] + R[1, 0]) / s
+        z = (R[0, 2] + R[2, 0]) / s
+    elif R[1, 1] > R[2, 2]:
+        s = np.sqrt(1.0 + R[1, 1] - R[0, 0] - R[2, 2]) * 2
+        w = (R[0, 2] - R[2, 0]) / s
+        x = (R[0, 1] + R[1, 0]) / s
+        y = 0.25 * s
+        z = (R[1, 2] + R[2, 1]) / s
+    else:
+        s = np.sqrt(1.0 + R[2, 2] - R[0, 0] - R[1, 1]) * 2
+        w = (R[1, 0] - R[0, 1]) / s
+        x = (R[0, 2] + R[2, 0]) / s
+        y = (R[1, 2] + R[2, 1]) / s
+        z = 0.25 * s
+    return float(w), float(x), float(y), float(z)

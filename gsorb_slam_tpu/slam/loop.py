@@ -110,9 +110,40 @@ class LoopClosure:
     T_correction: np.ndarray  # corrective transform for the query pose
 
 
+def _sim3_compose(a, b):
+    """(s,R,t) triples: (a ∘ b)(x) = a(b(x))."""
+    sa, Ra, ta = a
+    sb, Rb, tb = b
+    return (sa * sb, Ra @ Rb, sa * (Ra @ tb) + ta)
+
+
+def _sim3_inv(a):
+    s, R, t = a
+    return (1.0 / s, R.T, -(R.T @ t) / s)
+
+
+def _sim3_mat(a) -> np.ndarray:
+    """Embed (s,R,t) as a 4x4 with sR in the linear block (g2o Scw style)."""
+    s, R, t = a
+    M = np.eye(4, dtype=np.float32)
+    M[:3, :3] = s * R
+    M[:3, 3] = t
+    return M
+
+
+def _sim3_from_mat(M: np.ndarray):
+    A = M[:3, :3]
+    s = float(np.cbrt(max(np.linalg.det(A), 1e-18)))
+    return (s, (A / s).astype(np.float32), M[:3, 3].astype(np.float32))
+
+
 class LoopCloser:
-    """Detection with temporal consistency + SE3 verification + pose-graph
-    correction. ``min_consistency`` mirrors mnCovisibilityConsistencyTh=3."""
+    """Detection with temporal consistency + Sim3/SE3 verification +
+    pose-graph correction. ``min_consistency`` mirrors
+    mnCovisibilityConsistencyTh=3. ``fix_scale`` mirrors ``mbFixScale``
+    (``src/LoopClosing.cc:234``): True for RGB-D/stereo, False for
+    monocular — scale then flows through verification (7-DoF
+    ``OptimizeSim3``) and the essential graph."""
 
     def __init__(
         self,
@@ -121,7 +152,9 @@ class LoopCloser:
         min_inliers: int = 20,
         min_consistency: int = 3,
         min_gap: int = 10,
+        fix_scale: bool = True,
     ):
+        self.fix_scale = fix_scale
         self.db = KeyFrameDatabase(vocab)
         self.min_score = min_score
         self.min_inliers = min_inliers
@@ -212,7 +245,7 @@ class LoopCloser:
         pvalid[:n] = True
         res = S3.ransac_sim3(
             jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(pvalid),
-            jnp.asarray(self.key), fix_scale=True,
+            jnp.asarray(self.key), fix_scale=self.fix_scale,
         )
         if debug:
             print(
@@ -226,10 +259,11 @@ class LoopCloser:
         # refit Horn on the surviving set.
         R = np.asarray(res.R)
         t = np.asarray(res.t)
+        s = float(res.s)
         inl = np.asarray(res.inliers)
         x1r, x2r = x1[:n], x2[:n]
         for th in (0.10, 0.07, 0.05):
-            r = x2r - (x1r @ R.T + t)
+            r = x2r - (s * (x1r @ R.T) + t)
             d = np.linalg.norm(r, axis=-1)
             inl = d < th
             if debug:
@@ -239,19 +273,27 @@ class LoopCloser:
                 )
             if inl.sum() < self.min_inliers:
                 return None
-            # numpy Horn fit (dynamic inlier counts would recompile jit)
+            # numpy Horn fit (dynamic inlier counts would recompile jit);
+            # scale via the singular-value form when not fixed
+            # (src/Sim3Solver.cc:227 ComputeSim3).
             a, b = x1r[inl], x2r[inl]
             mu1, mu2 = a.mean(0), b.mean(0)
-            W = (b - mu2).T @ (a - mu1)
-            U, _S, Vt = np.linalg.svd(W)
-            D = np.diag([1.0, 1.0, np.sign(np.linalg.det(U @ Vt))])
+            ca, cb = a - mu1, b - mu2
+            W = cb.T @ ca
+            U, S_sv, Vt = np.linalg.svd(W)
+            sgn = np.sign(np.linalg.det(U @ Vt))
+            D = np.diag([1.0, 1.0, sgn])
             R = (U @ D @ Vt).astype(np.float32)
-            t = (mu2 - R @ mu1).astype(np.float32)
-        # World-frame drift correction: x2 = R x1 + t maps query-side point
-        # coordinates onto match-side (older, drift-free) coordinates.
-        T_corr = np.eye(4, dtype=np.float32)
-        T_corr[:3, :3] = R
-        T_corr[:3, 3] = t
+            if not self.fix_scale:
+                s = float(
+                    (S_sv[0] + S_sv[1] + sgn * S_sv[2])
+                    / max((ca * ca).sum(), 1e-12)
+                )
+            t = (mu2 - s * (R @ mu1)).astype(np.float32)
+        # World-frame drift correction: x2 = s R x1 + t maps query-side
+        # point coordinates onto match-side (older, drift-free) coordinates
+        # — a Sim3 when fix_scale=False, embedded as sR|t.
+        T_corr = _sim3_mat((s, R, t))
 
         if cam is not None:
             # OptimizeSim3 analog: refine on image-plane reprojection edges
@@ -261,7 +303,13 @@ class LoopCloser:
 
             T1 = kf_query.T_cw
             T2 = kf_match.T_cw
+            # Sim3 embeddings (sR|t) compose/invert as plain 4x4 algebra:
+            # S12 = T1 ∘ S_corr^{-1} ∘ T2^{-1}, with s12 = 1/s_corr.
             T12 = T1 @ np.linalg.inv(T_corr) @ np.linalg.inv(T2)
+            s12, R12, t12 = _sim3_from_mat(T12)
+            T12_se3 = np.eye(4, dtype=np.float32)
+            T12_se3[:3, :3] = R12
+            T12_se3[:3, 3] = t12
 
             # SearchBySim3 (src/ORBmatcher.cc:1102): grow the match set with
             # the Sim3 estimate before the reprojection refinement — project
@@ -291,9 +339,9 @@ class LoopCloser:
                 jnp.asarray(lo2), jnp.asarray(hi2), kf_match.feats,
                 jnp.asarray(T1.astype(np.float32)),
                 jnp.asarray(T2.astype(np.float32)),
-                jnp.asarray(1.0, jnp.float32),
-                jnp.asarray(T12[:3, :3].astype(np.float32)),
-                jnp.asarray(T12[:3, 3].astype(np.float32)),
+                jnp.asarray(s12, jnp.float32),
+                jnp.asarray(R12.astype(np.float32)),
+                jnp.asarray(t12.astype(np.float32)),
                 cam,
                 jnp.asarray(frontend.scale_factors, jnp.float32),
             )
@@ -339,8 +387,8 @@ class LoopCloser:
 
             pv = np.zeros(capn, bool)
             pv[:n] = inl  # start from Horn inliers
-            T12_r, inl_r, n_r = optimize_sim3_reprojection(
-                jnp.asarray(T12.astype(np.float32)),
+            T12_r, ls_r, inl_r, n_r = optimize_sim3_reprojection(
+                jnp.asarray(T12_se3),
                 jnp.asarray(padr(xc2.astype(np.float32))),
                 jnp.asarray(padr(uv1.astype(np.float32))),
                 jnp.asarray(padr(xc1.astype(np.float32))),
@@ -349,15 +397,21 @@ class LoopCloser:
                 jnp.asarray(padr(is2, 1.0)),
                 jnp.asarray(pv),
                 cam,
+                fix_scale=self.fix_scale,
+                log_s_init=float(np.log(max(s12, 1e-12))),
             )
             if int(n_r) >= self.min_inliers and bool(
                 np.isfinite(np.asarray(T12_r)).all()
             ):
-                # Invert T12 = T1 . T_corr^-1 . T2^-1 for the world-level
-                # correction: T_corr = T2^-1 . T12^-1 . T1.
+                # Recompose the refined Sim3 embedding and invert:
+                # T_corr = T2^-1 ∘ S12^-1 ∘ T1 (4x4 algebra is exact for
+                # sR|t embeddings).
                 T12_np = np.asarray(T12_r)
+                S12 = _sim3_mat(
+                    (float(np.exp(ls_r)), T12_np[:3, :3], T12_np[:3, 3])
+                )
                 T_corr = (
-                    np.linalg.inv(T2) @ np.linalg.inv(T12_np) @ T1
+                    np.linalg.inv(T2) @ np.linalg.inv(S12) @ T1
                 ).astype(np.float32)
         return T_corr
 
@@ -368,11 +422,18 @@ class LoopCloser:
         match_kf_id: int,
         T_corr: np.ndarray,
         covis_edges: list[tuple[int, int, float]],
-    ) -> dict[int, np.ndarray]:
+    ) -> tuple[dict[int, np.ndarray], Optional[dict[int, np.ndarray]]]:
         """Pose-graph correction — the ``OptimizeEssentialGraph`` analog
         (``src/Optimizer.cc:782-1045``): spanning-TREE edges + covisibility
         edges keep relative poses, the loop edge pins query ~ match through
-        T_corr. Returns {kf_id: corrected T_cw}."""
+        T_corr (a Sim3 ``sR|t`` embedding when ``fix_scale=False``).
+
+        Returns ``({kf_id: corrected T_cw}, point_corr)`` where
+        ``point_corr`` is ``{kf_id: 4x4 Sim3 embedding}`` mapping each
+        keyframe's OLD world coordinates to corrected ones (apply to map
+        points by reference keyframe — ``LoopClosing::CorrectLoop``'s point
+        transform, ``src/LoopClosing.cc:470-500``); None on the fixed-scale
+        SE3 path, where the global BA polish recovers the points."""
         id_index = {kf.kf_id: i for i, kf in enumerate(keyframes)}
         K = len(keyframes)
         poses = np.stack([kf.T_cw for kf in keyframes]).astype(np.float32)
@@ -406,29 +467,84 @@ class LoopCloser:
                 edges_j.append(b)
                 rels.append(poses[a] @ np.linalg.inv(poses[b]))
                 ws.append(min(w / 100.0, 1.0))
-        # Loop edge: corrected query pose = T_cw_query @ T_corr^{-1}
-        # (points move x -> T_corr x, so camera-from-world absorbs inverse).
+        # Loop edge: corrected query pose = S_q ∘ S_corr^{-1}
+        # (points move x -> S_corr x, so camera-from-world absorbs inverse).
         qa = id_index[query_kf_id]
         mb = id_index[match_kf_id]
-        T_query_corrected = poses[qa] @ np.linalg.inv(T_corr)
-        rel_loop = T_query_corrected @ np.linalg.inv(poses[mb])
-        edges_i.append(qa)
-        edges_j.append(mb)
-        rels.append(rel_loop)
-        ws.append(5.0)
+        s_corr, R_corr, t_corr = _sim3_from_mat(T_corr)
+        scale_active = (not self.fix_scale) and abs(np.log(s_corr)) > 1e-6
 
         fixed = np.zeros(K, bool)
         fixed[mb] = True
         fixed[0] = True
 
-        new_poses = pose_graph_optimization(
+        if not scale_active:
+            T_query_corrected = poses[qa] @ np.linalg.inv(T_corr)
+            rel_loop = T_query_corrected @ np.linalg.inv(poses[mb])
+            edges_i.append(qa)
+            edges_j.append(mb)
+            rels.append(rel_loop)
+            ws.append(5.0)
+            new_poses = pose_graph_optimization(
+                jnp.asarray(poses),
+                jnp.asarray(np.array(edges_i, np.int32)),
+                jnp.asarray(np.array(edges_j, np.int32)),
+                jnp.asarray(np.stack(rels).astype(np.float32)),
+                jnp.asarray(np.array(ws, np.float32)),
+                jnp.asarray(fixed),
+                iters=50,
+            )
+            new_poses = np.asarray(new_poses)
+            return (
+                {kf.kf_id: new_poses[i] for i, kf in enumerate(keyframes)},
+                None,
+            )
+
+        # 7-DoF path (monocular): odometry/covis edges carry relative scale
+        # 1; the loop edge carries the verified drift scale.
+        S_q = (1.0, poses[qa][:3, :3], poses[qa][:3, 3])
+        S_qc = _sim3_compose(S_q, _sim3_inv((s_corr, R_corr, t_corr)))
+        S_m_inv = _sim3_inv((1.0, poses[mb][:3, :3], poses[mb][:3, 3]))
+        s_rel, R_rel, t_rel = _sim3_compose(S_qc, S_m_inv)
+        rel_loop = np.eye(4, dtype=np.float32)
+        rel_loop[:3, :3] = R_rel
+        rel_loop[:3, 3] = t_rel
+        edges_i.append(qa)
+        edges_j.append(mb)
+        rels.append(rel_loop)
+        ws.append(5.0)
+        rel_ls = np.zeros(len(rels), np.float32)
+        rel_ls[-1] = np.log(s_rel)
+
+        from gsorb_slam_tpu.frontend.ba import sim3_pose_graph_optimization
+
+        new_poses, new_ls = sim3_pose_graph_optimization(
             jnp.asarray(poses),
+            jnp.zeros(K, jnp.float32),
             jnp.asarray(np.array(edges_i, np.int32)),
             jnp.asarray(np.array(edges_j, np.int32)),
             jnp.asarray(np.stack(rels).astype(np.float32)),
+            jnp.asarray(rel_ls),
             jnp.asarray(np.array(ws, np.float32)),
             jnp.asarray(fixed),
             iters=50,
         )
         new_poses = np.asarray(new_poses)
-        return {kf.kf_id: new_poses[i] for i, kf in enumerate(keyframes)}
+        new_s = np.exp(np.asarray(new_ls))
+        out_poses, point_corr = {}, {}
+        for i, kf in enumerate(keyframes):
+            Ri = new_poses[i][:3, :3]
+            ti = new_poses[i][:3, 3]
+            si = float(new_s[i])
+            # Metric pose: T = [R, t/s] (g2o::Sim3 -> SE3, Converter).
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = Ri
+            T[:3, 3] = ti / si
+            out_poses[kf.kf_id] = T
+            # Old-world -> corrected-world point map: S_new^{-1} ∘ S_old.
+            S_old = (1.0, poses[i][:3, :3].copy(), poses[i][:3, 3].copy())
+            S_new = (si, Ri, ti)
+            point_corr[kf.kf_id] = _sim3_mat(
+                _sim3_compose(_sim3_inv(S_new), S_old)
+            )
+        return out_poses, point_corr

@@ -7,7 +7,7 @@ densify/prune (``CatTensorToOptimizer`` ``src/Gaussian.cc:241-258``,
 ``PruneOptimizer`` ``:223-239``) — reallocation patterns XLA cannot compile.
 Here the map lives in arrays of static capacity ``C`` with an ``active`` mask:
 
-- densify  = scatter new rows at a write cursor (``add_points``)   → O(M) writes
+- densify  = scatter new rows into dead slots (``add_points``)     → O(M) writes
 - prune    = clear mask bits (``prune_low_opacity``)               → O(C) mask op
 - compact  = stable partition of live rows to the front (episodic)
 
@@ -130,8 +130,18 @@ def add_points(
     + ``CatTensorToOptimizer`` (``:241-258``): new rows get quat=identity,
     logit-opacity=1, scale per ``init_scalar_method`` (0: 3-NN distance,
     1: clamped 3-NN, 2: SinglePixel — the default in every shipped YAML),
-    zero Adam moments. Candidates beyond remaining capacity are dropped
-    (scatter mode='drop').
+    zero Adam moments.
+
+    Slot assignment RECYCLES dead rows (pruned holes below the high-water
+    mark fill first, then the virgin tail), so a capacity-full map keeps
+    accepting splats as long as pruning frees rows — the bounded-capacity
+    analog of the reference's unbounded tensor concat (VERDICT r3 item 4).
+    Only candidates beyond the TOTAL dead-slot count are dropped. Caveat
+    shared with plain appends: tile bins cached before this call don't see
+    the new rows (and a recycled row briefly inherits the dead splat's
+    stale bin entries) until the next (re)binning episode — the System
+    rebins the current frame right after densify and refreshes keyframe
+    bins on a TTL.
     """
     capacity = gm.capacity
     valid = valid.astype(bool)
@@ -148,16 +158,24 @@ def add_points(
             mean_d = jnp.sum(jnp.where(valid, d, 0.0)) / denom
             d = jnp.minimum(d, 8.0 * mean_d)
         log_scale_1d = jnp.log(d)
-    # Slot index for each valid candidate: cursor + rank-in-valid.
-    ranks = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    slots = jnp.where(valid, gm.count + ranks, capacity)  # capacity => dropped
+    # Slot for the i-th valid candidate = index of the (i+1)-th DEAD row
+    # (holes below the high-water mark in index order, then the tail).
+    # searchsorted over the dead-count prefix sum finds it without a sort.
+    dead_cum = jnp.cumsum((~gm.active).astype(jnp.int32))
+    n_dead = dead_cum[-1]
+    ranks = jnp.cumsum(valid.astype(jnp.int32)) - 1  # 0-based among valid
+    applied = valid & (ranks < n_dead)
+    slots = jnp.searchsorted(dead_cum, ranks + 1, side="left").astype(jnp.int32)
+    slots = jnp.where(applied, slots, capacity)  # capacity => dropped
 
     def scat(dst, src):
         return dst.at[slots].set(src, mode="drop")
 
-    n_new = jnp.minimum(
-        jnp.sum(valid.astype(jnp.int32)), capacity - gm.count
-    )
+    # High-water mark: rows >= count stay permanently dead (prefix_view
+    # contract) — only tail allocations raise it.
+    new_count = jnp.maximum(
+        gm.count, jnp.max(jnp.where(applied, slots + 1, 0), initial=0)
+    ).astype(jnp.int32)
 
     def src_shape(name):
         return {
@@ -176,7 +194,7 @@ def add_points(
         gm,
         **new_params,
         active=gm.active.at[slots].set(True, mode="drop"),
-        count=gm.count + n_new,
+        count=new_count,
         adam_m=m,
         adam_v=v,
     )
@@ -236,6 +254,29 @@ def prune_low_opacity(gm: GaussianMap, threshold: float = 0.005) -> GaussianMap:
     allocated until the next :func:`compact`."""
     low = jax.nn.sigmoid(gm.logit_opacities) < threshold
     return dataclasses.replace(gm, active=gm.active & ~low)
+
+
+def prune_to_budget(gm: GaussianMap, target_frac: float = 0.85) -> GaussianMap:
+    """Capacity pressure valve: when the live count exceeds
+    ``target_frac * capacity``, deactivate the LOWEST-opacity live splats
+    down to the target (mask-only — cached bins stay valid; freed rows are
+    recycled by :func:`add_points`).
+
+    The reference never needs this (it reallocates unboundedly and prunes
+    only ``sigmoid(op) < 0.005`` every 50 frames, ``src/Render.cc:211-217``);
+    at a bounded capacity the weakest splats are the principled overflow
+    victims — they contribute least blended weight.
+    """
+    target = jnp.asarray(target_frac * gm.capacity, jnp.float32)
+    n_live = gm.n_active()
+    n_cut = jnp.maximum(n_live - target.astype(jnp.int32), 0)
+    # Threshold = n_cut-th smallest live opacity (dead rows sort to +inf).
+    key = jnp.where(gm.active, gm.logit_opacities, jnp.inf)
+    order = jnp.sort(key)
+    thresh = order[jnp.clip(n_cut, 0, gm.capacity - 1)]
+    # Strictly-below keeps at least the target (ties above thresh survive).
+    cut = gm.active & (gm.logit_opacities < thresh)
+    return dataclasses.replace(gm, active=gm.active & ~cut)
 
 
 def compact(gm: GaussianMap) -> GaussianMap:

@@ -258,3 +258,62 @@ def test_search_by_bow_direct_index(rng):
     n1_np, n2_np = np.asarray(n1), np.asarray(n2)
     for i in np.nonzero(v)[0]:
         assert n1_np[i] == n2_np[i2[i]]
+
+
+def test_pose_graph_stress_large_drift(rng):
+    """Essential-graph stress (VERDICT r3 item 9): accumulated drift 10x the
+    multi-loop test's magnitude. The graph must still pull the loop nodes
+    back and cut total chain error — the regime where g2o's full LM
+    (``src/Optimizer.cc:782``) is the bar."""
+    K = 30
+    poses_gt = []
+    T = np.eye(4, dtype=np.float32)
+    for k in range(K):
+        poses_gt.append(T.copy())
+        yaw = 2 * np.pi / 15 * (1.0 if k < 15 else -1.0)
+        step = np.asarray(se3_exp(jnp.asarray([0.2, 0, 0, 0, yaw, 0], jnp.float32)))
+        T = step @ T
+    poses_gt = np.stack(poses_gt)
+
+    poses_drift = [poses_gt[0]]
+    for k in range(1, K):
+        rel_gt = poses_gt[k] @ np.linalg.inv(poses_gt[k - 1])
+        noise = np.asarray(
+            se3_exp(jnp.asarray([0.15, 0.05, 0, 0, 0.08, 0], jnp.float32))
+        )
+        poses_drift.append(noise @ rel_gt @ poses_drift[-1])
+    poses_drift = np.stack(poses_drift).astype(np.float32)
+
+    edges_i = list(range(K - 1))
+    edges_j = list(range(1, K))
+    rels = [poses_drift[a] @ np.linalg.inv(poses_drift[a + 1]) for a in range(K - 1)]
+    w = [1.0] * (K - 1)
+    for a, b in [(15, 0), (K - 1, 0)]:
+        edges_i.append(a)
+        edges_j.append(b)
+        rels.append(poses_gt[a] @ np.linalg.inv(poses_gt[b]))
+        w.append(5.0)
+    fixed = np.zeros(K, bool)
+    fixed[0] = True
+
+    out = np.asarray(
+        pose_graph_optimization(
+            jnp.asarray(poses_drift),
+            jnp.asarray(np.asarray(edges_i, np.int32)),
+            jnp.asarray(np.asarray(edges_j, np.int32)),
+            jnp.asarray(np.stack(rels).astype(np.float32)),
+            jnp.asarray(np.asarray(w, np.float32)),
+            jnp.asarray(fixed), iters=300,
+        )
+    )
+
+    def err(node, P):
+        return np.linalg.norm(P[node][:3, 3] - poses_gt[node][:3, 3])
+
+    for node in (15, K - 1):
+        assert err(node, out) < 0.5 * err(node, poses_drift), (
+            node, err(node, out), err(node, poses_drift)
+        )
+    tot_before = sum(err(k, poses_drift) for k in range(K))
+    tot_after = sum(err(k, out) for k in range(K))
+    assert tot_after < 0.6 * tot_before, (tot_before, tot_after)

@@ -229,3 +229,73 @@ def test_render_convenience_jit(rng):
 
     c = f(scene)
     assert np.all(np.isfinite(np.asarray(c)))
+
+
+def test_tile_capacity_truncation_drops_only_occluded(rng):
+    """tile_capacity truncation telemetry + bounded impact (VERDICT r3 item
+    7): on a saturated opaque scene, binning reports the dropped instance
+    count, and the truncated render deviates from an unbounded-capacity
+    render only where content was already occluded (depth order keeps the
+    NEAREST instances, so dropped splats sit behind ~saturated alpha)."""
+    cam = tiny_camera()
+    n = 600
+    scene = random_cloud_scene(rng, n=n, capacity=640)
+    # Pile every splat into one small frustum cone so a handful of tiles
+    # exceed the tiny capacity below.
+    cap = scene["means"].shape[0]  # padded capacity (>= n)
+    xy = jax.random.uniform(jax.random.PRNGKey(3), (cap, 2), minval=-0.08, maxval=0.08)
+    z = jax.random.uniform(jax.random.PRNGKey(4), (cap, 1), minval=1.0, maxval=3.0)
+    scene["means"] = jnp.concatenate([xy * z, z], axis=1)
+    scene["logit_opacities"] = jnp.full((cap,), 4.0, jnp.float32)  # opaque-ish
+    scene["log_scales"] = jnp.full((cap, 3), jnp.log(0.03), jnp.float32)
+    prep = _prep(scene, cam)
+
+    big = RasterConfig(tile=16, tile_capacity=1024, max_dup=16, chunk=64)
+    bins_b = bin_gaussians(prep, cam, big)
+    assert int(bins_b.n_dropped) == 0
+    out_b = render_tiled(prep, bins_b, cam, big)
+
+    def rel_dev(capacity):
+        cfg = RasterConfig(tile=16, tile_capacity=capacity, max_dup=16, chunk=64)
+        bins = bin_gaussians(prep, cam, cfg)
+        out = render_tiled(prep, bins, cam, cfg)
+        num = float(jnp.sum(jnp.abs(out.color - out_b.color)))
+        den = float(jnp.sum(jnp.abs(out_b.color))) + 1e-6
+        return num / den, int(bins.n_dropped)
+
+    dev128, dropped128 = rel_dev(128)
+    dev256, dropped256 = rel_dev(256)
+    assert dropped128 > dropped256 > 0, "scene failed to saturate tile_capacity"
+    # Dropped = farthest-in-tile: deviation stays bounded even at an
+    # aggressively small capacity, and shrinks fast as capacity grows
+    # (production capacity is 1024 — the e2e runs log bin_dropped_frac).
+    assert dev128 < 0.05, (dev128, dropped128)
+    assert dev256 < 0.4 * dev128, (dev256, dev128)
+
+
+def test_system_reports_bin_truncation_telemetry():
+    """shutdown_summary carries the binning truncation counters."""
+    from gsorb_slam_tpu.core.config import (
+        CameraConfig, MappingConfig, SystemConfig, TrackingConfig,
+    )
+    from gsorb_slam_tpu.slam.dataset import SyntheticDataset
+    from gsorb_slam_tpu.slam.system import System
+
+    cam = tiny_camera()
+    cfg = SystemConfig(
+        camera=CameraConfig(width=cam.width, height=cam.height, fx=cam.fx,
+                            fy=cam.fy, cx=cam.cx, cy=cam.cy, fps=10),
+        mapping=MappingConfig(num_iters=2, init_iters=2, max_gaussians=8192,
+                              window_size=2, covis_window=1),
+        tracking=TrackingConfig(num_iters=2),
+    )
+    ds = SyntheticDataset(cam, n_frames=2, n_splats=500)
+    sys_ = System(cfg, max_keyframes=4,
+                  raster=RasterConfig(tile=16, tile_capacity=256, max_dup=8,
+                                      chunk=64))
+    for i in range(2):
+        fr = ds[i]
+        sys_.track_rgbd(fr.rgb, fr.depth, float(i))
+    s = sys_.shutdown_summary()
+    assert s["bin_instances_total"] > 0
+    assert 0.0 <= s["bin_dropped_frac"] <= 1.0

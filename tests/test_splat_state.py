@@ -163,3 +163,68 @@ def test_add_points_jittable(rng):
     f = jax.jit(lambda gm, m, c, z, v: G.add_points(gm, m, c, z, v, 500.0, 500.0))
     gm = f(gm, means, rgb, z, jnp.ones(10, bool))
     assert int(gm.count) == 10
+
+
+def test_add_points_recycles_dead_slots(rng):
+    """A capacity-full map must keep accepting splats by recycling pruned
+    rows (VERDICT r3 item 4). Holes below the high-water mark fill first,
+    in index order; the high-water mark only rises for tail allocations."""
+    gm = G.empty_map(32)
+    means, rgb, z = make_points(rng, 32)
+    gm = G.add_points(gm, means, rgb, z, jnp.ones(32, bool), fx=500.0, fy=500.0)
+    assert int(gm.count) == 32 and int(gm.n_active()) == 32
+
+    # Kill rows 3, 7, 20 (mask-only prune).
+    dead = jnp.zeros(32, bool).at[jnp.asarray([3, 7, 20])].set(True)
+    gm = dataclasses.replace(gm, active=gm.active & ~dead)
+    # also poison their Adam moments to check the recycle zeroes them
+    gm.adam_m["means"] = gm.adam_m["means"].at[3].set(9.0)
+
+    m2, r2, z2 = make_points(rng, 5)
+    gm2 = G.add_points(gm, m2, r2, z2, jnp.ones(5, bool), fx=500.0, fy=500.0)
+    # 3 recycled + 2 dropped (no tail space): count unchanged, 32 active.
+    assert int(gm2.count) == 32
+    assert int(gm2.n_active()) == 32
+    np.testing.assert_allclose(np.asarray(gm2.means[3]), np.asarray(m2[0]))
+    np.testing.assert_allclose(np.asarray(gm2.means[7]), np.asarray(m2[1]))
+    np.testing.assert_allclose(np.asarray(gm2.means[20]), np.asarray(m2[2]))
+    np.testing.assert_allclose(np.asarray(gm2.adam_m["means"][3]), 0.0)
+    np.testing.assert_allclose(np.asarray(gm2.logit_opacities[3]), 1.0)
+
+
+def test_add_points_recycles_holes_then_tail(rng):
+    gm = G.empty_map(16)
+    means, rgb, z = make_points(rng, 8)
+    gm = G.add_points(gm, means, rgb, z, jnp.ones(8, bool), fx=500.0, fy=500.0)
+    gm = dataclasses.replace(
+        gm, active=gm.active.at[2].set(False).at[5].set(False)
+    )
+    m2, r2, z2 = make_points(rng, 4)
+    gm2 = G.add_points(gm, m2, r2, z2, jnp.ones(4, bool), fx=500.0, fy=500.0)
+    # holes 2 and 5 first, then tail rows 8, 9.
+    np.testing.assert_allclose(np.asarray(gm2.means[2]), np.asarray(m2[0]))
+    np.testing.assert_allclose(np.asarray(gm2.means[5]), np.asarray(m2[1]))
+    np.testing.assert_allclose(np.asarray(gm2.means[8]), np.asarray(m2[2]))
+    np.testing.assert_allclose(np.asarray(gm2.means[9]), np.asarray(m2[3]))
+    assert int(gm2.count) == 10  # high-water mark moved only for the tail
+    assert int(gm2.n_active()) == 10
+
+
+def test_prune_to_budget_cuts_weakest(rng):
+    gm = G.empty_map(64)
+    means, rgb, z = make_points(rng, 60)
+    gm = G.add_points(gm, means, rgb, z, jnp.ones(60, bool), fx=500.0, fy=500.0)
+    # Give rows 0..9 low opacity, the rest high.
+    lo = jnp.asarray(rng.uniform(-5.0, -4.0, 10), jnp.float32)
+    hi = jnp.asarray(rng.uniform(2.0, 3.0, 50), jnp.float32)
+    gm = dataclasses.replace(
+        gm, logit_opacities=gm.logit_opacities.at[:10].set(lo).at[10:60].set(hi)
+    )
+    gm2 = G.prune_to_budget(gm, target_frac=50 / 64)
+    assert int(gm2.n_active()) == 50
+    # exactly the low-opacity rows died
+    assert not bool(jnp.any(gm2.active[:10]))
+    assert bool(jnp.all(gm2.active[10:60]))
+    # under budget: no-op
+    gm3 = G.prune_to_budget(gm2, target_frac=55 / 64)
+    assert int(gm3.n_active()) == 50
