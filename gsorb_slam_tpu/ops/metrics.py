@@ -96,12 +96,29 @@ _LPIPS_FAILED = False
 
 
 def lpips(pred: jnp.ndarray, target: jnp.ndarray) -> float:
-    """LPIPS (AlexNet). Uses torchmetrics on CPU when pretrained weights are
-    available locally; otherwise returns NaN once with a warning (zero-egress
-    environments cannot download the weights)."""
+    """LPIPS (AlexNet). Prefers the pure-JAX implementation with locally
+    exported weights (``ops/lpips_jax.py``; export once with
+    ``scripts/export_lpips_weights.py`` on a machine with egress), falls
+    back to torchmetrics if installed, else returns NaN once with a
+    warning."""
     global _LPIPS_MODEL, _LPIPS_FAILED
     if _LPIPS_FAILED:
         return float("nan")
+    if _LPIPS_MODEL is None:
+        from gsorb_slam_tpu.ops import lpips_jax as LJ
+
+        wpath = LJ.default_weights_path()
+        if wpath is not None:
+            _LPIPS_MODEL = ("jax", LJ.load_lpips_weights(wpath))
+    if _LPIPS_MODEL is not None and isinstance(_LPIPS_MODEL, tuple):
+        from gsorb_slam_tpu.ops import lpips_jax as LJ
+
+        return float(
+            LJ.lpips_pair(
+                jnp.asarray(pred, jnp.float32), jnp.asarray(target, jnp.float32),
+                _LPIPS_MODEL[1],
+            )
+        )
     if _LPIPS_MODEL is None:
         try:
             import torch  # noqa: F401

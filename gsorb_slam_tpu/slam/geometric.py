@@ -21,6 +21,7 @@ vectorized JAX kernels in ``frontend/``:
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Optional
 
 import jax
@@ -133,6 +134,10 @@ class GeometricFrontend:
         # Map-point ids matched (inliers) in the most recent tracked frame —
         # the vote source for Tracking::UpdateLocalKeyFrames.
         self.last_matched_points: np.ndarray = np.zeros(0, np.int64)
+        # Per-phase wall-time accumulators (host-cost telemetry: the r3
+        # verdict's frontend/kf-chain seconds-per-frame must be attributable
+        # to a phase before they can be cut).
+        self.timings: dict[str, float] = {}
 
         def _extract_undistorted(g):
             feats = extract_orb(g, orb_cfg)
@@ -160,6 +165,12 @@ class GeometricFrontend:
 
         self._extract = _extract_full
         self.rng = np.random.default_rng(seed)
+
+    def _tt(self, phase: str, t0: float) -> float:
+        """Accumulate wall time since ``t0`` into ``phase``; returns now."""
+        now = time.perf_counter()
+        self.timings[phase] = self.timings.get(phase, 0.0) + (now - t0)
+        return now
 
     # ------------------------------------------------------------- tracking
 
@@ -259,8 +270,10 @@ class GeometricFrontend:
         :func:`frontend.matcher.compute_stereo_matches`) switches matched
         observations to 3-DoF stereo BA edges, the reference's
         ``mvuRight >= 0`` path (``src/Optimizer.cc:300-380``)."""
+        t0 = time.perf_counter()
         if feats is None:
             feats = self._extract(jnp.asarray(gray))
+        t0 = self._tt("fe.extract", t0)
         ids = self.local_map_points()
         empty = FeatureMatches.empty(self.match_capacity)
         if len(ids) < 20:
@@ -269,6 +282,7 @@ class GeometricFrontend:
         ids, world_p, desc_p, valid_p, norm_p, dmin_p, dmax_p = (
             self._local_map_padded()
         )
+        t0 = self._tt("fe.local_map", t0)
         # radius acts as the reference's `th` multiplier once scale info is
         # present: window = th * RadiusByViewingCos * sf[predicted level]
         # (src/ORBmatcher.cc:45-157; th=3 covers the motion-model prior).
@@ -286,6 +300,7 @@ class GeometricFrontend:
             scale_factors=jnp.asarray(self.scale_factors),
         )
         mv = np.asarray(m.valid)[: len(ids)]
+        t0 = self._tt("fe.match", t0)
         self.pt_visible[ids[mv]] += 1
         kp_idx = np.asarray(m.idx2)[: len(ids)]
         n = int(mv.sum())
@@ -317,6 +332,7 @@ class GeometricFrontend:
             bf=self.bf,
         )
         inl = np.asarray(res.inliers)[: min(n, cap)]
+        t0 = self._tt("fe.pose_opt", t0)
         matched_ids = ids[mv][:cap]
         self.pt_found[matched_ids[inl]] += 1
         # Vote source for the next frame's covisibility local map
@@ -347,6 +363,7 @@ class GeometricFrontend:
 
         # Close-point bookkeeping for the keyframe decision (c1c/c2 gates).
         # (depth stats are provided by the caller; approximate with inliers)
+        self._tt("fe.bookkeeping", t0)
         return FrontendResult(T_orb, matches, n_inl, n_inl, 0, feats)
 
     # ------------------------------------------------------------ keyframes
@@ -366,6 +383,7 @@ class GeometricFrontend:
         (``src/Tracking.cc:1446-1510``: closest-first, capped). For stereo,
         ``kp_depth`` carries descriptor-matched disparity depths
         (``ComputeStereoMatches``) instead of a dense depth-image lookup."""
+        t0 = time.perf_counter()
         v = np.asarray(feats.valid)
         uv = np.asarray(feats.uv)  # undistorted: used for unprojection
         uv_raw = np.asarray(feats.uv_raw if feats.uv_raw is not None else feats.uv)
@@ -430,6 +448,7 @@ class GeometricFrontend:
         )
         self.keyframes.append(kf)
         self.kf_counter += 1
+        t0 = self._tt("kf.new_points", t0)
 
         # Spanning-tree parent: the most-covisible existing keyframe
         # (KeyFrame::UpdateConnections first-connection path), falling back
@@ -437,6 +456,7 @@ class GeometricFrontend:
         if len(self.keyframes) >= 2:
             covis0 = self.covisibility(kf, min_shared=5)
             kf.parent_id = covis0[0][0] if covis0 else self.keyframes[-2].kf_id
+        t0 = self._tt("kf.covis", t0)
 
         # LocalMapping::Run sequence per inserted keyframe
         # (src/LocalMapping.cc:48-648): MapPointCulling ->
@@ -445,20 +465,25 @@ class GeometricFrontend:
         self.last_adjusted: list[int] = []
         if run_local_mapping and len(self.keyframes) >= 2:
             self.cull_points()
+            t0 = self._tt("kf.cull_points", t0)
             by_id = {k.kf_id: k for k in self.keyframes}
             for cid, _w in self.covisibility(kf)[:2]:
                 other = by_id.get(cid)
                 if other is not None:
                     self.create_new_map_points(kf, other)
+            t0 = self._tt("kf.triangulate", t0)
             self.fuse_duplicates(kf)
+            t0 = self._tt("kf.fuse", t0)
         if (
             run_local_mapping
             and self.kf_counter % self.local_ba_every == 0
             and len(self.keyframes) >= 3
         ):
             self.last_adjusted = self.local_ba()
+            t0 = self._tt("kf.lba", t0)
         if run_local_mapping and self.kf_counter % 10 == 0 and len(self.keyframes) > 4:
             self.cull_keyframes()
+            t0 = self._tt("kf.cull_kfs", t0)
         return kf
 
     # -------------------------------------------------------- local mapping

@@ -1373,6 +1373,11 @@ class System:
             ),
             "capacity_frac": float(int(self.gm.count) / self.gm.capacity),
             **self._bin_truncation_stats(),
+            **(
+                {f"phase_{k}": round(v, 3) for k, v in self.fe.timings.items()}
+                if self.fe is not None
+                else {}
+            ),
         }
 
     def _bin_truncation_stats(self) -> dict:

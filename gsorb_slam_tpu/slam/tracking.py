@@ -275,7 +275,21 @@ def track_frame(
             return jax.lax.fori_loop(
                 0, seg_end - seg_start, lambda _i, c: step(c), carry
             )
-        return jax.lax.while_loop(cond, step, carry)
+        # Early-stop enabled: the while cond costs a host scalar round-trip
+        # (~2 ms/iter at VGA), so it is evaluated once per C-iteration
+        # chunk; INSIDE the chunk a lax.cond on the same predicate guards
+        # each step (the carry is scalar-sized — the 80MB instance pack is
+        # a closure constant — so the cond is cheap and a converged step is
+        # skipped, preserving the per-iteration break semantics exactly).
+        C = min(8, seg_end - seg_start)
+
+        def guarded(c):
+            return jax.lax.cond(c[6] < seg_end, step, lambda c: c, c)
+
+        def chunk(c):
+            return jax.lax.fori_loop(0, C, lambda _i, cc: guarded(cc), c)
+
+        return jax.lax.while_loop(cond, chunk, carry)
 
     inliers0 = jnp.ones_like(matches.valid)
     carry = (
