@@ -58,6 +58,11 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_double), ctypes.c_int,
         ctypes.c_double, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
     ]
+    lib.exact_knn3.restype = ctypes.c_int
+    lib.exact_knn3.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+    ]
     _LIB = lib
     return lib
 
@@ -113,3 +118,22 @@ def associate_timestamps_native(
         max_dt, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(a),
     )
     return [(int(out[2 * i]), int(out[2 * i + 1])) for i in range(n)]
+
+
+def exact_knn3_native(pts: np.ndarray, valid: np.ndarray) -> np.ndarray | None:
+    """Exact 3-NN mean squared distance among valid points (the
+    simple_knn/distCUDA2 contract, ``src/simple_knn.cu:45-221``) via the
+    native grid search. Returns None when the library is absent."""
+    lib = _load()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(pts, np.float32)
+    v = np.ascontiguousarray(valid, np.uint8)
+    out = np.zeros(len(pts), np.float32)
+    lib.exact_knn3(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(pts),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out

@@ -72,3 +72,30 @@ def knn3_mean_sq_dist(
     # Undo the sort.
     out = jnp.zeros(N, pts.dtype).at[order].set(mean3)
     return jnp.where(valid, out, 0.0)
+
+
+def knn3_mean_sq_dist_exact(
+    pts: jnp.ndarray,  # [N, 3]
+    valid: jnp.ndarray,  # [N] bool
+) -> jnp.ndarray:
+    """EXACT 3-NN mean squared distance (``src/simple_knn.cu:45-221``
+    contract) via the native grid search through ``jax.pure_callback`` —
+    jit-safe with static shapes. Falls back to the Morton-window
+    approximation when the native library is unavailable."""
+    from gsorb_slam_tpu.frontend.native import exact_knn3_native, have_native
+
+    if not have_native():
+        return knn3_mean_sq_dist(pts, valid)
+
+    import numpy as np
+
+    def _cb(p, v):
+        out = exact_knn3_native(np.asarray(p), np.asarray(v))
+        return np.asarray(out, np.float32)
+
+    return jax.pure_callback(
+        _cb,
+        jax.ShapeDtypeStruct((pts.shape[0],), jnp.float32),
+        pts, valid,
+        vmap_method="sequential",
+    )

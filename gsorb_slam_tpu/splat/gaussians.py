@@ -149,9 +149,9 @@ def add_points(
     if init_scalar_method == 2:
         log_scale_1d = single_pixel_log_scale(z_cam, fx, fy)
     else:
-        from gsorb_slam_tpu.ops.knn import knn3_mean_sq_dist
+        from gsorb_slam_tpu.ops.knn import knn3_mean_sq_dist_exact
 
-        dist2 = jnp.maximum(knn3_mean_sq_dist(means, valid), 1e-7)
+        dist2 = jnp.maximum(knn3_mean_sq_dist_exact(means, valid), 1e-7)
         d = jnp.sqrt(dist2)
         if init_scalar_method == 1:  # DistanceMean: clamp at 8x mean
             denom = jnp.maximum(jnp.sum(valid), 1)

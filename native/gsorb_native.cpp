@@ -177,3 +177,133 @@ int associate_timestamps(const double* a, int na, const double* b, int nb,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Exact 3-nearest-neighbor mean squared distance (the reference's
+// simple_knn/distCUDA2 semantics, src/simple_knn.cu:45-221: Morton boxes +
+// AABB rejection; here a uniform spatial grid with ring-expansion search —
+// exact because rings expand until the ring's minimum possible distance
+// exceeds the current 3rd-best). Used by splat scale-init methods 0/1
+// (src/Gaussian.cc:50-72); the default method 2 never calls it.
+// ---------------------------------------------------------------------------
+
+extern "C" int exact_knn3(const float* pts, const uint8_t* valid, int n,
+                          float* out_mean_sq) {
+  // collect valid indices
+  std::vector<int> ids;
+  ids.reserve(n);
+  float lo[3] = {1e30f, 1e30f, 1e30f}, hi[3] = {-1e30f, -1e30f, -1e30f};
+  for (int i = 0; i < n; ++i) {
+    out_mean_sq[i] = 0.0f;
+    if (!valid[i]) continue;
+    ids.push_back(i);
+    for (int d = 0; d < 3; ++d) {
+      lo[d] = std::min(lo[d], pts[3 * i + d]);
+      hi[d] = std::max(hi[d], pts[3 * i + d]);
+    }
+  }
+  const int m = (int)ids.size();
+  if (m <= 1) return 0;
+  if (m <= 4) {  // tiny: brute force
+    for (int a : ids) {
+      float best[3] = {1e30f, 1e30f, 1e30f};
+      for (int b : ids) {
+        if (a == b) continue;
+        float d2 = 0;
+        for (int d = 0; d < 3; ++d) {
+          float dd = pts[3 * a + d] - pts[3 * b + d];
+          d2 += dd * dd;
+        }
+        if (d2 < best[0]) { best[2] = best[1]; best[1] = best[0]; best[0] = d2; }
+        else if (d2 < best[1]) { best[2] = best[1]; best[1] = d2; }
+        else if (d2 < best[2]) { best[2] = d2; }
+      }
+      int k = std::min(m - 1, 3);
+      float s = 0; for (int j = 0; j < k; ++j) s += best[j];
+      out_mean_sq[a] = s / std::max(k, 1);
+    }
+    return 0;
+  }
+  // grid with ~2 points per cell on average
+  float ext[3];
+  for (int d = 0; d < 3; ++d) ext[d] = std::max(hi[d] - lo[d], 1e-9f);
+  const float vol = ext[0] * ext[1] * ext[2];
+  float cell = std::cbrt(vol * 2.0f / m);
+  cell = std::max(cell, 1e-9f);
+  int gs[3];
+  for (int d = 0; d < 3; ++d)
+    gs[d] = std::max(1, std::min(512, (int)std::ceil(ext[d] / cell)));
+  const int ncells = gs[0] * gs[1] * gs[2];
+  std::vector<int> cell_of(m), count(ncells + 1, 0);
+  auto cell_idx = [&](const float* p) {
+    int c[3];
+    for (int d = 0; d < 3; ++d) {
+      c[d] = (int)((p[d] - lo[d]) / ext[d] * gs[d]);
+      c[d] = std::max(0, std::min(gs[d] - 1, c[d]));
+    }
+    return (c[2] * gs[1] + c[1]) * gs[0] + c[0];
+  };
+  for (int j = 0; j < m; ++j) {
+    cell_of[j] = cell_idx(pts + 3 * ids[j]);
+    count[cell_of[j] + 1]++;
+  }
+  for (int c = 0; c < ncells; ++c) count[c + 1] += count[c];
+  std::vector<int> bucket(m);
+  { std::vector<int> cur(count.begin(), count.end() - 1);
+    for (int j = 0; j < m; ++j) bucket[cur[cell_of[j]]++] = ids[j]; }
+
+  const float cw[3] = {ext[0] / gs[0], ext[1] / gs[1], ext[2] / gs[2]};
+  const float min_cw = std::min(cw[0], std::min(cw[1], cw[2]));
+  for (int j = 0; j < m; ++j) {
+    const int a = ids[j];
+    const float* p = pts + 3 * a;
+    int c[3];
+    for (int d = 0; d < 3; ++d) {
+      c[d] = (int)((p[d] - lo[d]) / ext[d] * gs[d]);
+      c[d] = std::max(0, std::min(gs[d] - 1, c[d]));
+    }
+    float best[3] = {1e30f, 1e30f, 1e30f};
+    int found = 0;
+    const int max_ring =
+        std::max(gs[0], std::max(gs[1], gs[2]));
+    for (int ring = 0; ring <= max_ring; ++ring) {
+      // exact termination: the closest any unvisited ring-cell point can be
+      // is (ring-1) * min cell width from the query's cell boundary.
+      if (found >= 3) {
+        const float ring_min = (ring - 1) * min_cw;
+        if (ring_min > 0 && ring_min * ring_min > best[2]) break;
+      }
+      for (int z = c[2] - ring; z <= c[2] + ring; ++z)
+        for (int y = c[1] - ring; y <= c[1] + ring; ++y)
+          for (int x = c[0] - ring; x <= c[0] + ring; ++x) {
+            // shell only, in UNCLAMPED coords (clamped bounds would
+            // revisit edge cells and double-count their points)
+            const int cheb = std::max(std::abs(x - c[0]),
+                                      std::max(std::abs(y - c[1]),
+                                               std::abs(z - c[2])));
+            if (cheb != ring) continue;
+            if (x < 0 || y < 0 || z < 0 || x >= gs[0] || y >= gs[1] ||
+                z >= gs[2])
+              continue;
+            const int cc = (z * gs[1] + y) * gs[0] + x;
+            for (int t = count[cc]; t < count[cc + 1]; ++t) {
+              const int b = bucket[t];
+              if (b == a) continue;
+              float d2 = 0;
+              for (int d = 0; d < 3; ++d) {
+                const float dd = p[d] - pts[3 * b + d];
+                d2 += dd * dd;
+              }
+              if (d2 < best[0]) { best[2] = best[1]; best[1] = best[0]; best[0] = d2; ++found; }
+              else if (d2 < best[1]) { best[2] = best[1]; best[1] = d2; ++found; }
+              else if (d2 < best[2]) { best[2] = d2; ++found; }
+            }
+          }
+    }
+    const int k = std::min(m - 1, 3);
+    float s = 0;
+    for (int q = 0; q < k; ++q) s += best[q];
+    out_mean_sq[a] = s / std::max(k, 1);
+  }
+  return 0;
+}
