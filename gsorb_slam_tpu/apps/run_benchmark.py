@@ -212,6 +212,8 @@ def main() -> None:
         "densify_added_max": summ["densify_added_max"],
         "capacity_frac": summ["capacity_frac"],
         "loop_events": len(sys_.loop_events),
+        # Host-cost attribution (fe.* / kf.* wall-time accumulators).
+        **{k: v for k, v in summ.items() if k.startswith(("phase_", "bin_"))},
     }
     with open(os.path.join(args.out, "result.txt"), "a") as f:
         f.write(json.dumps(result) + "\n")

@@ -78,6 +78,11 @@ class RasterConfig:
     # path): amortizes the ~1.3us fixed per-grid-step cost. The tile count
     # is padded to a multiple of this.
     fused_tiles_per_step: int = dataclasses.field(default=4, metadata=dict(static=True))
+    # Run the per-iteration instance EWA projection through the Pallas
+    # kernel pair (raster/preprocess_pallas.py) on the tracking fast path:
+    # ~3x cheaper than the XLA chain (intermediate materialization). Off =
+    # the XLA preprocess_instances path.
+    preprocess_pallas: bool = dataclasses.field(default=True, metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass

@@ -192,12 +192,27 @@ def track_frame(
         )
 
         gt4 = tile_gt_images(gt_color, gt_depth, cam, rcfg)
+        pp_pallas = getattr(rcfg, "preprocess_pallas", True)
+        pp_interp = jax.default_backend() != "tpu"
+
+        def _pp(raw, q, t):
+            if pp_pallas:
+                from gsorb_slam_tpu.raster.preprocess_pallas import (
+                    preprocess_instances_pallas,
+                    rt_from_matrix,
+                )
+
+                rt = rt_from_matrix(pose_to_matrix(q, t))
+                return preprocess_instances_pallas(
+                    raw, rt, cam, scale_modifier, 8, pp_interp
+                )
+            return preprocess_instances(
+                raw, pose_to_matrix(q, t), cam, scale_modifier
+            )
 
         def value_and_grad_iter(quat, trans, inlier_mask, raw, counts):
             screen, vjp = jax.vjp(
-                lambda q, t: preprocess_instances(
-                    raw, pose_to_matrix(q, t), cam, scale_modifier
-                ),
+                lambda q, t: _pp(raw, q, t),
                 quat, trans,
             )
             img_l1, dep_l1, d_screen = tracking_loss_grad(

@@ -165,6 +165,41 @@ def main() -> int:
               f"trans {rt:.2e}", flush=True)
 
         if not exact:
+            # preprocess-pallas pair (raster/preprocess_pallas.py): compiled
+            # fwd + pose cotangent vs the XLA preprocess chain feeding the
+            # SAME fused kernel — isolates the new kernel pair exactly.
+            from gsorb_slam_tpu.raster.preprocess_pallas import (
+                preprocess_instances_pallas,
+                rt_from_matrix,
+            )
+
+            def pp_pose_grad(q, t):
+                screen, vjp = jax.vjp(
+                    lambda q_, t_: preprocess_instances_pallas(
+                        raw, rt_from_matrix(pose_to_matrix(q_, t_)), cam,
+                        1.0, 8, False,
+                    ),
+                    q, t,
+                )
+                _i, _d, d_screen = tracking_loss_grad(
+                    screen, bins.counts, gt4, cam, rcfg, 0.7, 1.0, False,
+                    interpret=False,
+                )
+                return vjp(d_screen)
+
+            gq_p, gt_p = jax.jit(pp_pose_grad)(q0, t0)
+            rqp = float(
+                jnp.max(jnp.abs(gq_p - gq_f)) / (jnp.max(jnp.abs(gq_f)) + 1e-9)
+            )
+            rtp = float(
+                jnp.max(jnp.abs(gt_p - gt_f)) / (jnp.max(jnp.abs(gt_f)) + 1e-9)
+            )
+            sp = "ok " if max(rqp, rtp) < 1e-3 else "FAIL"
+            if max(rqp, rtp) >= 1e-3:
+                ok = False
+            print(f"[{sp}] exact={int(exact)} preprocess-pallas POSE grad "
+                  f"rel-err: quat {rqp:.2e} trans {rtp:.2e}", flush=True)
+
             # blend_bf16 fast mode: the cumsum/suffix matmuls run in bf16
             # (operands are O(1) log-transmittances — bounded relative
             # error, no cancellation). Gate its POSE gradients against the

@@ -550,3 +550,49 @@ def test_flat_group_invariance(rng):
         np.testing.assert_allclose(results[G][0], results[1][0], rtol=1e-6)
         np.testing.assert_allclose(results[G][1], results[1][1],
                                    atol=1e-6, rtol=1e-5)
+
+
+def test_preprocess_pallas_matches_xla(rng):
+    """The Pallas instance-EWA pair (fwd + in-kernel-vjp pose cotangent)
+    must match the XLA preprocess_instances chain in interpret mode;
+    compiled parity is gated by scripts/tpu_smoke.py."""
+    from gsorb_slam_tpu.raster.binning import bin_gaussians
+    from gsorb_slam_tpu.raster.instances import (
+        pack_raw_instances,
+        preprocess_instances,
+    )
+    from gsorb_slam_tpu.raster.preprocess_pallas import (
+        preprocess_instances_pallas,
+        rt_from_matrix,
+    )
+
+    cam = tiny_camera()
+    scene = random_cloud_scene(rng, n=500, capacity=512)
+    cfg = RasterConfig(tile=16, tile_capacity=256, max_dup=16, chunk=64)
+    T = jnp.eye(4).at[:3, 3].set(jnp.array([0.02, -0.01, 0.03]))
+    prep = _prep(scene, cam, pose=T)
+    bins = bin_gaussians(prep, cam, cfg)
+    raw = pack_raw_instances(
+        scene["means"], scene["rgb"], scene["quats"],
+        scene["logit_opacities"], scene["log_scales"], scene["active"], bins,
+    )
+
+    ref = preprocess_instances(raw, T, cam, 1.0)
+    # group=3 exercises the tile-padding path (13 tiles -> 15)
+    out = preprocess_instances_pallas(raw, rt_from_matrix(T), cam, 1.0, 3, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    ct = jax.random.normal(jax.random.PRNGKey(0), ref.shape)
+
+    def loss_ref(T):
+        return jnp.sum(preprocess_instances(raw, T, cam, 1.0) * ct)
+
+    def loss_pal(T):
+        return jnp.sum(
+            preprocess_instances_pallas(raw, rt_from_matrix(T), cam, 1.0, 3, True)
+            * ct
+        )
+
+    gr = np.asarray(jax.grad(loss_ref)(T))[:3, :4]
+    gp = np.asarray(jax.grad(loss_pal)(T))[:3, :4]
+    np.testing.assert_allclose(gp, gr, rtol=1e-4, atol=1e-3 * np.abs(gr).max())
