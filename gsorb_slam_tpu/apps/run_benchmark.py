@@ -169,6 +169,7 @@ def main() -> None:
     # Render-quality pass over the estimated trajectory (Evalution analog,
     # src/Utils.cc:365-473 — every eval-stride-th frame).
     psnrs, ssims, dl1s = [], [], []
+    gt_psnrs, gt_dl1s = [], []
     for i in range(0, len(ds), args.eval_stride):
         fr = ds[i]
         out = sys_.render_view(est[i])
@@ -181,6 +182,17 @@ def main() -> None:
         valid = mask & (md > 0)
         if valid.any():
             dl1s.append(float(np.abs(md - fr.depth)[valid].mean()))
+        # GT-pose twin: scores the MAP with eval-pose error removed —
+        # separates "the map is bad" from "the estimated eval pose
+        # misaligns the render" in the depth-L1 gap diagnosis.
+        out_g = sys_.render_view(fr.gt_T_cw)
+        cg = np.clip(np.asarray(out_g.color), 0, 1)
+        gt_psnrs.append(float(psnr(jnp.asarray(cg), jnp.asarray(fr.rgb),
+                                   jnp.asarray(mask))))
+        mdg = np.asarray(out_g.median_depth)
+        vg = mask & (mdg > 0)
+        if vg.any():
+            gt_dl1s.append(float(np.abs(mdg - fr.depth)[vg].mean()))
 
     os.makedirs(args.out, exist_ok=True)
     save_tum(
@@ -194,6 +206,8 @@ def main() -> None:
         "psnr_db": float(np.mean(psnrs)),
         "ssim": float(np.mean(ssims)),
         "depth_l1_m": float(np.mean(dl1s)) if dl1s else None,
+        "psnr_db_gt_pose": float(np.mean(gt_psnrs)),
+        "depth_l1_m_gt_pose": float(np.mean(gt_dl1s)) if gt_dl1s else None,
         "mean_frame_s": float(np.mean(lat[1:])),
         "median_frame_s": float(np.median(lat[1:])),
         "avg_tracking_s": summ["avg_tracking_s"],

@@ -19,6 +19,7 @@ Poses use se(3) twists around the current estimate (``se3_exp``).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -94,6 +95,10 @@ class PoseOptResult(NamedTuple):
     n_inliers: jnp.ndarray  # [] int32
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("rounds", "iters_per_round", "damping", "bf"),
+)
 def pose_optimization(
     T_init: jnp.ndarray,
     world: jnp.ndarray,  # [M, 3]
@@ -346,6 +351,7 @@ class LocalBAResult(NamedTuple):
     inlier_obs: jnp.ndarray  # [O] bool
 
 
+@functools.partial(jax.jit, static_argnames=("outer_iters", "damping"))
 def local_bundle_adjustment(
     poses: jnp.ndarray,  # [K, 4, 4] T_cw (index 0 may be held fixed)
     points: jnp.ndarray,  # [P, 3]

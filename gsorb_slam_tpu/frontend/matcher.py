@@ -52,6 +52,9 @@ def _rotation_consistency(
     return valid & keep_bin[bins]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("max_dist", "ratio", "check_rotation")
+)
 def match_descriptors(
     f1: ORBFeatures,
     f2: ORBFeatures,
@@ -84,6 +87,9 @@ def match_descriptors(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("max_dist", "ratio", "check_rotation")
+)
 def search_by_bow(
     f1: ORBFeatures,
     f2: ORBFeatures,
@@ -131,6 +137,7 @@ def fundamental_from_poses(T1_cw: jnp.ndarray, T2_cw: jnp.ndarray, K: jnp.ndarra
     return Kinv.T @ tx @ R @ Kinv
 
 
+@functools.partial(jax.jit, static_argnames=("max_dist", "epi_th"))
 def search_for_triangulation(
     f1: ORBFeatures,
     f2: ORBFeatures,
@@ -168,6 +175,7 @@ class StereoMatches(NamedTuple):
     valid: jnp.ndarray  # [NL] bool
 
 
+@functools.partial(jax.jit, static_argnames=("bf", "min_z", "max_dist"))
 def compute_stereo_matches(
     fL: ORBFeatures,
     fR: ORBFeatures,
@@ -215,6 +223,12 @@ def compute_stereo_matches(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "radius", "max_dist", "octave_lo", "octave_hi", "use_view_cos_radius",
+    ),
+)
 def search_by_projection(
     world: jnp.ndarray,  # [M, 3] map-point positions
     descriptors: jnp.ndarray,  # [M, 8] representative descriptors
