@@ -52,6 +52,13 @@ def main() -> None:
                          "gate flipping the production default")
     ap.add_argument("--elem-bf16", action="store_true",
                     help="bf16 elementwise slab mode (RasterConfig.elem_bf16)")
+    ap.add_argument("--no-preprocess-pallas", action="store_true",
+                    help="bisect: XLA preprocess chain on the tracking path")
+    ap.add_argument("--early-stop-delta", type=float, default=None,
+                    help="override TrackingConfig.early_stop_delta "
+                         "(0 = static fori path, no early stop)")
+    ap.add_argument("--tile-capacity", type=int, default=None,
+                    help="override RasterConfig.tile_capacity")
     ap.add_argument("--loop", action="store_true",
                     help="enable loop closing (auto-loads the packaged ORB "
                          "vocabulary; the sinusoidal sweep returns to its "
@@ -111,11 +118,14 @@ def main() -> None:
             num_iters=args.track_iters,
             **({"rebin_iters": tuple(args.rebin_iters)}
                if args.rebin_iters is not None else {}),
+            **({"early_stop_delta": args.early_stop_delta}
+               if args.early_stop_delta is not None else {}),
         ),
         debug=DebugConfig(use_loop=args.loop),
     )
     raster = None
-    if args.dilate is not None or args.blend_bf16 or args.elem_bf16:
+    if (args.dilate is not None or args.blend_bf16 or args.elem_bf16
+            or args.no_preprocess_pallas or args.tile_capacity is not None):
         import dataclasses as _dc
 
         from gsorb_slam_tpu.slam.system import System as _S
@@ -127,6 +137,10 @@ def main() -> None:
             raster = _dc.replace(raster, blend_bf16=True)
         if args.elem_bf16:
             raster = _dc.replace(raster, elem_bf16=True)
+        if args.no_preprocess_pallas:
+            raster = _dc.replace(raster, preprocess_pallas=False)
+        if args.tile_capacity is not None:
+            raster = _dc.replace(raster, tile_capacity=args.tile_capacity)
     sys_ = System(cfg, max_keyframes=128, frontend=args.frontend, raster=raster)
     if args.bucket_floor:
         sys_.prefix_bucket_floor = args.bucket_floor

@@ -92,7 +92,7 @@ def chunk_layout(
 
 
 def tile_grid_shape(cam: Camera, cfg: RasterConfig) -> tuple[int, int]:
-    return (-(-cam.height // cfg.tile), -(-cam.width // cfg.tile))
+    return (-(-cam.height // cfg.tile_h_px), -(-cam.width // cfg.tile_w_px))
 
 
 def gaussian_tile_rect(
@@ -113,17 +113,18 @@ def gaussian_tile_rect(
     r = prep.radius + cfg.dilate_px
     D = cfg.max_dup
 
-    x0 = jnp.clip(jnp.floor((u - r) / cfg.tile), 0, tx).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((u + r) / cfg.tile) + 1, 0, tx).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((v - r) / cfg.tile), 0, ty).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((v + r) / cfg.tile) + 1, 0, ty).astype(jnp.int32)
+    tw, th = cfg.tile_w_px, cfg.tile_h_px
+    x0 = jnp.clip(jnp.floor((u - r) / tw), 0, tx).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((u + r) / tw) + 1, 0, tx).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((v - r) / th), 0, ty).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((v + r) / th) + 1, 0, ty).astype(jnp.int32)
     w = x1 - x0
     h = y1 - y0
 
     cw = jnp.minimum(w, D)
     ch = jnp.minimum(h, jnp.maximum(D // jnp.maximum(cw, 1), 1))
-    cx_t = jnp.clip((u / cfg.tile).astype(jnp.int32), 0, tx - 1)
-    cy_t = jnp.clip((v / cfg.tile).astype(jnp.int32), 0, ty - 1)
+    cx_t = jnp.clip((u / tw).astype(jnp.int32), 0, tx - 1)
+    cy_t = jnp.clip((v / th).astype(jnp.int32), 0, ty - 1)
     sx = jnp.clip(cx_t - cw // 2, x0, jnp.maximum(x1 - cw, x0))
     sy = jnp.clip(cy_t - ch // 2, y0, jnp.maximum(y1 - ch, y0))
     return sx, sy, cw, ch
@@ -164,10 +165,10 @@ def bin_gaussians(
     u = prep.mean2d[:, 0][:, None]
     v = prep.mean2d[:, 1][:, None]
     dil = float(cfg.dilate_px)
-    cx0 = tile_x.astype(jnp.float32) * cfg.tile
-    cy0 = tile_y.astype(jnp.float32) * cfg.tile
-    ulo, uhi = cx0 - dil - u, cx0 + cfg.tile + dil - u
-    vlo, vhi = cy0 - dil - v, cy0 + cfg.tile + dil - v
+    cx0 = tile_x.astype(jnp.float32) * cfg.tile_w_px
+    cy0 = tile_y.astype(jnp.float32) * cfg.tile_h_px
+    ulo, uhi = cx0 - dil - u, cx0 + cfg.tile_w_px + dil - u
+    vlo, vhi = cy0 - dil - v, cy0 + cfg.tile_h_px + dil - v
     A = jnp.maximum(prep.conic[:, 0], 1e-12)[:, None]
     Bc = prep.conic[:, 1][:, None]
     Cc = jnp.maximum(prep.conic[:, 2], 1e-12)[:, None]

@@ -199,16 +199,20 @@ def blend_packed_xla(
 
     ty, tx = tile_grid_shape(cam, cfg)
     n_tiles, _, cap = packed.shape
-    ts = cfg.tile
-    px = ts * ts
+    tsx, tsy = cfg.tile_w_px, cfg.tile_h_px
+    px = tsx * tsy
     K = min(cfg.chunk, cap)
     n_chunks = cap // K
 
-    ii = jnp.arange(ts, dtype=jnp.float32)
-    lu, lv = jnp.meshgrid(ii, ii, indexing="xy")
+    lu, lv = jnp.meshgrid(
+        jnp.arange(tsx, dtype=jnp.float32),
+        jnp.arange(tsy, dtype=jnp.float32), indexing="xy",
+    )
     local = jnp.stack([lu, lv], axis=-1).reshape(px, 2)
     t_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    origin = jnp.stack([(t_ids % tx) * ts, (t_ids // tx) * ts], -1).astype(jnp.float32)
+    origin = jnp.stack(
+        [(t_ids % tx) * tsx, (t_ids // tx) * tsy], -1
+    ).astype(jnp.float32)
     pix = origin[:, None, :] + local[None, :, :]  # [T, px, 2]
 
     k_live = jnp.arange(cap, dtype=jnp.int32)[None, :] < counts[:, None]
@@ -272,8 +276,8 @@ def blend_packed_xla(
 
     def untile(a):
         ch = a.shape[2:]
-        a = a.reshape((ty, tx, ts, ts) + ch)
-        a = jnp.swapaxes(a, 1, 2).reshape((ty * ts, tx * ts) + ch)
+        a = a.reshape((ty, tx, tsy, tsx) + ch)
+        a = jnp.swapaxes(a, 1, 2).reshape((ty * tsy, tx * tsx) + ch)
         return a[: cam.height, : cam.width]
 
     bg = jnp.broadcast_to(jnp.asarray(bg, jnp.float32), (3,))

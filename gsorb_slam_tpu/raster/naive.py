@@ -49,8 +49,8 @@ def render_naive(
     uv = pixel_grid(cam)  # [H, W, 2]
     # Pixel tile coordinates: a Gaussian only touches pixels of tiles inside
     # its (clamped) rect — CUDA semantics; see gaussian_tile_rect.
-    ptx = (uv[..., 0] / cfg.tile).astype(jnp.int32)
-    pty = (uv[..., 1] / cfg.tile).astype(jnp.int32)
+    ptx = (uv[..., 0] / cfg.tile_w_px).astype(jnp.int32)
+    pty = (uv[..., 1] / cfg.tile_h_px).astype(jnp.int32)
     H, W = cam.height, cam.width
 
     def step(carry, g):

@@ -70,8 +70,9 @@ _N_GRAD = 10  # d_mu, d_mv, d_ca, d_cb, d_cc, d_op, d_r, d_g, d_b, d_z
 
 
 class _Dims(NamedTuple):
-    ts: int  # tile side
-    px: int  # ts*ts
+    ts_x: int  # tile width in pixels (lane-major axis of the pixel basis)
+    ts_y: int  # tile height in pixels
+    px: int  # ts_x * ts_y
     cap: int
     K: int
     n_chunks: int
@@ -88,10 +89,10 @@ class _Dims(NamedTuple):
 
 def _pixel_basis(dims: _Dims, t) -> jnp.ndarray:
     """[8, px] tile-LOCAL polynomial basis: 1, pu, pv, pu^2, pu*pv, pv^2, 0, 0."""
-    px, ts = dims.px, dims.ts
+    px, tsx = dims.px, dims.ts_x
     pix = jax.lax.broadcasted_iota(jnp.int32, (1, px), 1)
-    pu = (pix % ts).astype(jnp.float32)
-    pv = (pix // ts).astype(jnp.float32)
+    pu = (pix % tsx).astype(jnp.float32)
+    pv = (pix // tsx).astype(jnp.float32)
     one = jnp.ones((1, px), jnp.float32)
     zero = jnp.zeros((1, px), jnp.float32)
     return jnp.concatenate([one, pu, pv, pu * pu, pu * pv, pv * pv, zero, zero], 0)
@@ -329,8 +330,8 @@ def _fwd_kernel(
     t = pl.program_id(0)
     count = counts_ref[t]
     px, K, U = dims.px, dims.K, dims.unroll
-    ox = ((t % dims.tx) * dims.ts).astype(jnp.float32)
-    oy = ((t // dims.tx) * dims.ts).astype(jnp.float32)
+    ox = ((t % dims.tx) * dims.ts_x).astype(jnp.float32)
+    oy = ((t // dims.tx) * dims.ts_y).astype(jnp.float32)
 
     # Scratch persists across the sequential grid: build the (tile-
     # independent) pixel basis and triangular masks ONCE — rebuilding +
@@ -413,8 +414,8 @@ def _bwd_kernel(
     t = pl.program_id(0)
     count = counts_ref[t]
     px, K = dims.px, dims.K
-    ox = ((t % dims.tx) * dims.ts).astype(jnp.float32)
-    oy = ((t // dims.tx) * dims.ts).astype(jnp.float32)
+    ox = ((t % dims.tx) * dims.ts_x).astype(jnp.float32)
+    oy = ((t // dims.tx) * dims.ts_y).astype(jnp.float32)
 
     @pl.when(t == 0)
     def _():
@@ -560,8 +561,9 @@ def _dims_for(cam: Camera, cfg: RasterConfig, cap: int) -> _Dims:
     assert cap % K == 0 and (K & (K - 1)) == 0, "chunk must be power of two"
     n_chunks = cap // K
     return _Dims(
-        ts=cfg.tile,
-        px=cfg.tile * cfg.tile,
+        ts_x=cfg.tile_w_px,
+        ts_y=cfg.tile_h_px,
+        px=cfg.tile_w_px * cfg.tile_h_px,
         cap=cap,
         K=K,
         n_chunks=n_chunks,
@@ -695,8 +697,8 @@ def blend_and_untile(
     out = _blend(packed, counts, dims, interpret)
 
     def untile(a):  # [T, px] -> [H, W]
-        a = a.reshape(ty, tx, dims.ts, dims.ts)
-        a = jnp.swapaxes(a, 1, 2).reshape(ty * dims.ts, tx * dims.ts)
+        a = a.reshape(ty, tx, dims.ts_y, dims.ts_x)
+        a = jnp.swapaxes(a, 1, 2).reshape(ty * dims.ts_y, tx * dims.ts_x)
         return a[: cam.height, : cam.width]
 
     Cr = untile(out[:, 0])
@@ -746,8 +748,8 @@ def _fused_track_kernel_exact(
     # tids maps the local row to its GLOBAL tile id (identity single-chip;
     # a shard's strided tile subset under the mesh tracking path).
     tg = tids_ref[t]
-    ox = ((tg % dims.tx) * dims.ts).astype(jnp.float32)
-    oy = ((tg // dims.tx) * dims.ts).astype(jnp.float32)
+    ox = ((tg % dims.tx) * dims.ts_x).astype(jnp.float32)
+    oy = ((tg // dims.tx) * dims.ts_y).astype(jnp.float32)
 
     @pl.when(t == 0)
     def _():
@@ -972,8 +974,8 @@ def _fused_track_kernel_fast(
         t = pid * B + b
         count = counts_ref[t]
         tg = tids_ref[t]  # global tile id (identity unless mesh-sharded)
-        ox = ((tg % dims.tx) * dims.ts).astype(jnp.float32)
-        oy = ((tg // dims.tx) * dims.ts).astype(jnp.float32)
+        ox = ((tg % dims.tx) * dims.ts_x).astype(jnp.float32)
+        oy = ((tg // dims.tx) * dims.ts_y).astype(jnp.float32)
 
         acc_ref[...] = jnp.zeros((8, px), jnp.float32)
         acc_ref[6, :] = jnp.ones((px,), jnp.float32)
@@ -1315,13 +1317,13 @@ def tile_gt_images(
     """Pack gt color+depth into the kernel's [T, 4, px] tile layout.
     Out-of-image padding rows get depth 0 => masked out of the loss."""
     ty, tx = tile_grid_shape(cam, cfg)
-    ts = cfg.tile
-    Hp, Wp = ty * ts, tx * ts
+    tsx, tsy = cfg.tile_w_px, cfg.tile_h_px
+    Hp, Wp = ty * tsy, tx * tsx
     img = jnp.concatenate([gt_color, gt_depth[..., None]], axis=-1)  # [H, W, 4]
     img = jnp.pad(img, ((0, Hp - cam.height), (0, Wp - cam.width), (0, 0)))
-    img = img.reshape(ty, ts, tx, ts, 4)
-    img = jnp.transpose(img, (0, 2, 4, 1, 3))  # [ty, tx, 4, ts, ts]
-    return img.reshape(ty * tx, 4, ts * ts)
+    img = img.reshape(ty, tsy, tx, tsx, 4)
+    img = jnp.transpose(img, (0, 2, 4, 1, 3))  # [ty, tx, 4, tsy, tsx]
+    return img.reshape(ty * tx, 4, tsy * tsx)
 
 
 def render_pallas(
@@ -1424,8 +1426,8 @@ def _flat_fwd_kernel(
         cidx = g * G + j
         t = ct_ref[cidx]
         pos = cp_ref[cidx]
-        ox = ((t % dims.tx) * dims.ts).astype(jnp.float32)
-        oy = ((t // dims.tx) * dims.ts).astype(jnp.float32)
+        ox = ((t % dims.tx) * dims.ts_x).astype(jnp.float32)
+        oy = ((t // dims.tx) * dims.ts_y).astype(jnp.float32)
 
         @pl.when(pos == 0)
         def _():
@@ -1501,8 +1503,8 @@ def _flat_bwd_kernel(
     for j in range(G - 1, -1, -1):
         rc = blk * G + j
         t = ct_ref[rc]
-        ox = ((t % dims.tx) * dims.ts).astype(jnp.float32)
-        oy = ((t // dims.tx) * dims.ts).astype(jnp.float32)
+        ox = ((t % dims.tx) * dims.ts_x).astype(jnp.float32)
+        oy = ((t // dims.tx) * dims.ts_y).astype(jnp.float32)
 
         # Reversed traversal: the first chunk of a tile we encounter is
         # that tile's LAST chunk -> initialize the suffix accumulator from
@@ -1789,8 +1791,8 @@ def render_pallas_flat(
     ty, tx = tile_grid_shape(cam, cfg)
 
     def untile(a):
-        a = a.reshape(ty, tx, dims.ts, dims.ts)
-        a = jnp.swapaxes(a, 1, 2).reshape(ty * dims.ts, tx * dims.ts)
+        a = a.reshape(ty, tx, dims.ts_y, dims.ts_x)
+        a = jnp.swapaxes(a, 1, 2).reshape(ty * dims.ts_y, tx * dims.ts_x)
         return a[: cam.height, : cam.width]
 
     Cr = untile(out[:, 0])

@@ -37,19 +37,21 @@ def render_tiled(
 ) -> RenderOutput:
     ty, tx = tile_grid_shape(cam, cfg)
     n_tiles = ty * tx
-    ts = cfg.tile
-    px = ts * ts
+    tsx, tsy = cfg.tile_w_px, cfg.tile_h_px
+    px = tsx * tsy
     cap = bins.indices.shape[1]
     K = min(cfg.chunk, cap)
     assert cap % K == 0, "tile_capacity must be a multiple of chunk"
 
     # Per-tile pixel coordinates [T, px, 2].
-    ii = jnp.arange(ts, dtype=jnp.float32)
-    lu, lv = jnp.meshgrid(ii, ii, indexing="xy")
+    lu, lv = jnp.meshgrid(
+        jnp.arange(tsx, dtype=jnp.float32),
+        jnp.arange(tsy, dtype=jnp.float32), indexing="xy",
+    )
     local = jnp.stack([lu, lv], axis=-1).reshape(px, 2)
     t_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     origin = jnp.stack(
-        [(t_ids % tx) * ts, (t_ids // tx) * ts], axis=-1
+        [(t_ids % tx) * tsx, (t_ids // tx) * tsy], axis=-1
     ).astype(jnp.float32)
     pix = origin[:, None, :] + local[None, :, :]  # [T, px, 2]
 
@@ -130,8 +132,8 @@ def render_tiled(
 
     def untile(a):
         ch = a.shape[2:]
-        a = a.reshape((ty, tx, ts, ts) + ch)
-        a = jnp.swapaxes(a, 1, 2).reshape((ty * ts, tx * ts) + ch)
+        a = a.reshape((ty, tx, tsy, tsx) + ch)
+        a = jnp.swapaxes(a, 1, 2).reshape((ty * tsy, tx * tsx) + ch)
         return a[: cam.height, : cam.width]
 
     bg = jnp.broadcast_to(jnp.asarray(bg, jnp.float32), (3,))

@@ -20,6 +20,13 @@ class RasterConfig:
     """
 
     tile: int = dataclasses.field(default=16, metadata=dict(static=True))
+    # Tile HEIGHT in pixels (0 = square, i.e. `tile`). The CUDA block is
+    # fixed 16x16; on TPU the dominant cost is the [chunk, px] slab
+    # elementwise work (px = tile * tile_h), so for scenes of small splats
+    # a half-height tile (tile_h=8, px=128) cuts per-instance element work
+    # ~2x while raising duplication only ~1.25x — net ~1.6x less slab work
+    # (PLAN.md round-4 roadmap item 4).
+    tile_h: int = dataclasses.field(default=0, metadata=dict(static=True))
     # Max sorted instances blended per tile. CUDA has no cap (dynamic
     # ranges); we truncate the *farthest* instances past this, which only
     # drops content already occluded in practice.
@@ -83,6 +90,16 @@ class RasterConfig:
     # ~3x cheaper than the XLA chain (intermediate materialization). Off =
     # the XLA preprocess_instances path.
     preprocess_pallas: bool = dataclasses.field(default=True, metadata=dict(static=True))
+
+    @property
+    def tile_w_px(self) -> int:
+        """Tile width in pixels (the lane-major axis of the pixel basis)."""
+        return self.tile
+
+    @property
+    def tile_h_px(self) -> int:
+        """Tile height in pixels (0 config value = square)."""
+        return self.tile_h or self.tile
 
 
 @jax.tree_util.register_dataclass

@@ -165,8 +165,8 @@ class System:
 
         # Device keyframe pools (uint8 colors to quarter the footprint).
         H, Wd = self.cam.height, self.cam.width
-        ty = -(-H // self.rcfg.tile)
-        tx = -(-Wd // self.rcfg.tile)
+        ty = -(-H // self.rcfg.tile_h_px)
+        tx = -(-Wd // self.rcfg.tile_w_px)
         n_tiles = ty * tx
         cap = self.rcfg.tile_capacity
         self._kf_colors = jnp.zeros((max_keyframes, H, Wd, 3), jnp.uint8)
