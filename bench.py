@@ -86,8 +86,9 @@ def main() -> None:
     # timed loop INCLUDES the rebin cost, exactly as a production frame
     # pays it.
     rcfg = RasterConfig(
-        tile=16, tile_capacity=1024, max_dup=16, chunk=128, dilate_px=2.0,
+        tile=16, tile_capacity=2048, max_dup=16, chunk=128, dilate_px=2.0,
         exact_stop=False,  # production default (deviation <= 1e-4)
+        blend_bf16=True,  # r4 quality twin: bf16 >= f32 on every metric
     )
     tcfg = TrackingConfig(num_iters=ITERS, early_stop_delta=0.0)
 

@@ -91,11 +91,27 @@ class System:
         tiles (the r2 VGA tracking collapse — see PLAN.md drift experiment:
         dilate 4 + rebins 8/40/120 leaves 2.4% residual where dilate 2 +
         one rebin stalls at ~50%). QVGA keeps dilate 2 (~45% fewer tile
-        instances than dilate 4)."""
+        instances than dilate 4).
+
+        ``tile_capacity`` 2048: at SLAM map densities (250-400k splats at
+        QVGA) a 1024 cap truncated ~50% of binned instances
+        (bin_dropped_frac telemetry, r4), and because mapping TRAINS on
+        those truncated renders the map geometry itself went bad — the
+        r4 cap-2048 twin cut depth-L1 0.31 -> 0.088 m and raised PSNR
+        ~6 dB (experiments/r4b_cap2048). Cost: 2x bin/pack memory; blend
+        time scales with LIVE instances, not capacity.
+
+        ``blend_bf16`` ON: the r4 full-budget quality twin
+        (experiments/r4b_cap2048 f32 vs r4b_bf16full bf16, identical
+        otherwise) shows bf16 >= f32 on every metric (ATE 3.98 vs
+        4.54 cm, PSNR 23.20 vs 23.24 dB, depth-L1 0.086 vs 0.088 m) at
+        -23% fused-kernel time (r3 ablation); pose-grad accuracy gated
+        compiled-vs-XLA every smoke run."""
         return RasterConfig(
-            tile=16, tile_capacity=1024, max_dup=16, chunk=128,
+            tile=16, tile_capacity=2048, max_dup=16, chunk=128,
             dilate_px=2.0 if width <= 400 else 4.0,
             exact_stop=False,
+            blend_bf16=True,
         )
 
     def __init__(

@@ -118,6 +118,33 @@ def main():
 
     print(f"best: {best[0]} {best[1]*1e3:.3f} ms", flush=True)
 
+    # Rectangular tiles (16x8, px=128): separate binning geometry — fresh
+    # bins/pack/gt4 per tile shape. Expect ~1.6x less slab element work at
+    # ~1.25x duplication (PLAN r4 roadmap item 4).
+    import os
+
+    if os.environ.get("RECT", "1") != "0":
+        base_r = dict(base, tile_h=8)
+        for tag, extra in (("f32", {}), ("bf16", {"blend_bf16": True})):
+            cfg_r = RasterConfig(chunk=128, chunk_unroll=4,
+                                 fused_tiles_per_step=4, **base_r, **extra)
+            bins_r = jax.jit(lambda cfg_r=cfg_r: bin_gaussians(
+                prep, cam, cfg_r))()
+            jax.block_until_ready(bins_r.indices)
+            Mr = int(jnp.sum(bins_r.counts))
+            packed_r = jax.jit(
+                lambda bins_r=bins_r: _pack_instances(prep, bins_r))()
+            gt4_r = tile_gt_images(gt_c, gt_d, cam, cfg_r)
+
+            def st_r(c, cfg_r=cfg_r, bins_r=bins_r, gt4_r=gt4_r):
+                img, dep, g = tracking_loss_grad(
+                    c, bins_r.counts, gt4_r, cam, cfg_r, 0.7, 1.0, True)
+                return feed(c, g)
+
+            per = timeit_loop(
+                f"FUSED rect16x8 B=4 U=4 {tag} (inst {Mr} vs {M})",
+                st_r, packed_r)
+
     # full tracking iteration with the best-ish config (B=4 U=4)
     cfg = RasterConfig(chunk=128, chunk_unroll=4, fused_tiles_per_step=4, **base)
 
