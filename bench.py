@@ -85,8 +85,12 @@ def main() -> None:
     # budget-adaptive in-loop rebin cadence (8/40/120 at 200 iters) — the
     # timed loop INCLUDES the rebin cost, exactly as a production frame
     # pays it.
+    # Production TRACKING raster view (System.default_raster_config with
+    # track_tile_capacity applied): the tracking pack/preprocess are dense
+    # over tile capacity, so tracking bins at 1024 while mapping/eval bin at
+    # 2048 (the r4 depth-quality fix).
     rcfg = RasterConfig(
-        tile=16, tile_capacity=2048, max_dup=16, chunk=128, dilate_px=2.0,
+        tile=16, tile_capacity=1024, max_dup=16, chunk=128, dilate_px=2.0,
         exact_stop=False,  # production default (deviation <= 1e-4)
         blend_bf16=True,  # r4 quality twin: bf16 >= f32 on every metric
     )
@@ -182,20 +186,26 @@ def main() -> None:
 
     mcfg = MappingConfig()
     MAP_ITERS = 20
+    # Production mapping bins at the FULL tile_capacity (2048; the r4
+    # depth-quality fix) — rebin for the mapping metric.
+    import dataclasses as _dc
+
+    rcfg_m = _dc.replace(rcfg, tile_capacity=2048)
+    bins_m = jax.jit(lambda p: bin_gaussians(p, cam, rcfg_m))(prep)
     frames = WindowFrames(
         colors=gt_color[None],
         depths=gt_depth[None],
         poses=T_gt[None],
-        bins_indices=bins.indices[None],
-        bins_counts=bins.counts[None],
+        bins_indices=bins_m.indices[None],
+        bins_counts=bins_m.counts[None],
         n_frames=jnp.asarray(1, jnp.int32),
     )
-    K = rcfg.chunk
-    nch = int(jnp.sum((bins.counts + K - 1) // K))
+    K = rcfg_m.chunk
+    nch = int(jnp.sum((bins_m.counts + K - 1) // K))
     budget = max(-(-(nch + 64) // 1024) * 1024, 1024)
     map_run = jax.jit(
         lambda gm, key: map_window(
-            gm, frames, key, cam, mcfg, rcfg, num_iters=MAP_ITERS,
+            gm, frames, key, cam, mcfg, rcfg_m, num_iters=MAP_ITERS,
             chunk_budget=budget,
         )[0].means
     )

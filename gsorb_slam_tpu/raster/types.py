@@ -31,6 +31,15 @@ class RasterConfig:
     # ranges); we truncate the *farthest* instances past this, which only
     # drops content already occluded in practice.
     tile_capacity: int = dataclasses.field(default=1024, metadata=dict(static=True))
+    # Tile capacity for the TRACKING path only (0 = tile_capacity). The
+    # tracking pack/preprocess run DENSE over capacity (cap columns per
+    # tile every iteration), so tracking pays for capacity whether tiles
+    # are full or not — while its loss is masked to alpha>0.99 pixels
+    # where near content dominates, making far-occluded truncation nearly
+    # harmless (r1-r3 tracked at 1024 with 1.2-1.4 cm ATE). Mapping/eval
+    # renders, whose supervision IS harmed by truncation (r4: depth-L1
+    # 0.31 -> 0.088 m at 2048), use the full tile_capacity.
+    track_tile_capacity: int = dataclasses.field(default=0, metadata=dict(static=True))
     # Max tiles a single Gaussian may be duplicated into (static instance
     # count M = C * max_dup). Rects larger than this are clamped around the
     # projected center.

@@ -108,7 +108,8 @@ class System:
         -23% fused-kernel time (r3 ablation); pose-grad accuracy gated
         compiled-vs-XLA every smoke run."""
         return RasterConfig(
-            tile=16, tile_capacity=2048, max_dup=16, chunk=128,
+            tile=16, tile_capacity=2048, track_tile_capacity=1024,
+            max_dup=16, chunk=128,
             dilate_px=2.0 if width <= 400 else 4.0,
             exact_stop=False,
             blend_bf16=True,
@@ -272,6 +273,17 @@ class System:
 
     def _build_jits(self):
         cam, rcfg, mcfg, tcfg = self.cam, self.rcfg, self.cfg.mapping, self.cfg.tracking
+        # Tracking-only raster view: smaller tile capacity (see
+        # RasterConfig.track_tile_capacity) — the tracking pack/preprocess
+        # are dense over capacity, mapping/eval renders are not.
+        rcfg_t = (
+            dataclasses.replace(
+                rcfg, tile_capacity=rcfg.track_tile_capacity
+            )
+            if getattr(rcfg, "track_tile_capacity", 0)
+            and rcfg.track_tile_capacity != rcfg.tile_capacity
+            else rcfg
+        )
 
         from gsorb_slam_tpu.splat.gaussians import prefix_view
 
@@ -310,6 +322,28 @@ class System:
             self._bin_stats.append((jnp.sum(b.counts), b.n_dropped))
             return b
 
+        if rcfg_t is not rcfg:
+
+            def _bin_track(gm: GaussianMap, T_cw, prefix: int):
+                gm = prefix_view(gm, prefix)
+                prep = preprocess(
+                    gm.means, gm.rgb, gm.quats, gm.logit_opacities,
+                    gm.log_scales, gm.active, T_cw, cam, mcfg.scale_modifier,
+                )
+                return bin_gaussians(prep, cam, rcfg_t)
+
+            _bin_track_inner = jax.jit(_bin_track, static_argnames=("prefix",))
+
+            def _bin_track_auto(gm, T_cw):
+                # Tracking bins intentionally truncate harder (see
+                # track_tile_capacity) — excluded from the mapping/eval
+                # truncation telemetry.
+                return _bin_track_inner(gm, T_cw, _prefix_bucket(gm))
+
+        else:
+            _bin_track_auto = _bin_auto
+        self._bin_track_jit = _bin_track_auto
+
         def _render(gm: GaussianMap, T_cw, bins: TileBins, prefix: int):
             gm = prefix_view(gm, prefix)
             prep = preprocess(
@@ -337,7 +371,7 @@ class System:
                 del bins
                 gm = prefix_view(gm, prefix)
                 return parallel_track_frame(
-                    gm, T_init, color, depth, matches, cam, tcfg, rcfg,
+                    gm, T_init, color, depth, matches, cam, tcfg, rcfg_t,
                     mesh_, num_iters=n_iters,
                     scale_modifier=mcfg.scale_modifier,
                 )
@@ -347,7 +381,7 @@ class System:
                        prefix):
                 gm = prefix_view(gm, prefix)
                 return T.track_frame(
-                    gm, T_init, color, depth, matches, cam, tcfg, rcfg,
+                    gm, T_init, color, depth, matches, cam, tcfg, rcfg_t,
                     num_iters=n_iters, bins=bins,
                     scale_modifier=mcfg.scale_modifier,
                 )
@@ -729,7 +763,7 @@ class System:
             bins = self._bin_jit(self.gm, jnp.asarray(T_cw))
             res = _ForcedTrackResult(T_cw=T_cw)
         else:
-            bins = self._bin_jit(self.gm, jnp.asarray(T_init))
+            bins = self._bin_track_jit(self.gm, jnp.asarray(T_init))
             res = self._track_jit(
                 self.gm, jnp.asarray(T_init), color, depth, matches, bins,
                 n_iters=n_track_iters,
