@@ -80,6 +80,12 @@ class MappingConfig:
     init_scalar_method: int = 2  # 0: 3-NN, 1: clamped 3-NN, 2: SinglePixel
     radius_depth_ratio: float = 3.0
     madien_mul: float = 10.0  # densify threshold = mean + madienMul * median
+    # Worst-first per-frame densify budget (0 = unbounded, the reference's
+    # behavior). Bounded capacity needs bounded growth: VGA runs added up
+    # to 92k splats in ONE frame on noisy depth, saturating the map (and
+    # its tile bins) by mid-sequence. 16384 leaves QVGA (typical 3-8k
+    # adds) untouched and caps the VGA spikes.
+    max_adds_per_frame: int = 16384
     use_radius_filter: bool = False
     # --- TPU-specific capacity knobs (no reference analog: the reference
     # reallocates tensors on densify; XLA needs static shapes) ---

@@ -70,6 +70,8 @@ def densify_frame(
     T_cw: jnp.ndarray,
     cam: Camera,
     mcfg: MappingConfig,
+    sat_tiles: jnp.ndarray | None = None,  # [T] bool: bin-saturated tiles
+    rcfg: RasterConfig | None = None,  # needed to map sat_tiles -> pixels
 ) -> tuple[GaussianMap, jnp.ndarray]:
     """Add splats where the render disagrees with the sensor.
 
@@ -77,6 +79,17 @@ def densify_frame(
     ``c1`` = not-yet-opaque & rendered-dark & depth-error above an adaptive
     threshold (mean + madienMul * median of the small-error pixels);
     ``c2`` = accumulated alpha < 0.8. Returns (new map, number added).
+
+    Two bounded-capacity guards the reference (unbounded realloc, no
+    per-tile cap) never needs:
+
+    - ``sat_tiles``: pixels of tiles whose bin hit ``tile_capacity`` are
+      EXCLUDED — a truncated render shows low alpha / wrong depth where
+      content was dropped, so adding there feeds the r4-diagnosed
+      saturation->over-add->saturation loop instead of fixing geometry.
+    - ``mcfg.max_adds_per_frame`` (0 = off): worst-first per-frame add
+      budget (score = depth error + alpha deficit), bounding map growth on
+      noisy high-res depth (VGA runs added up to 92k splats in one frame).
     """
     gray = (
         out.color[..., 0] * 299.0 + out.color[..., 1] * 587.0 + out.color[..., 2] * 114.0
@@ -94,6 +107,27 @@ def densify_frame(
     c1 = (~(out.alpha > 0.99)) & black & (diff > th)
     c2 = out.alpha < 0.8
     add_mask = (c1 | c2) & (gt_depth > 0)
+
+    if sat_tiles is not None and rcfg is not None:
+        from gsorb_slam_tpu.raster.binning import tile_grid_shape
+
+        ty, tx = tile_grid_shape(cam, rcfg)
+        tsx, tsy = rcfg.tile_w_px, rcfg.tile_h_px
+        sat_px = jnp.broadcast_to(
+            sat_tiles.reshape(ty, tx)[:, None, :, None], (ty, tsy, tx, tsx)
+        ).reshape(ty * tsy, tx * tsx)[: cam.height, : cam.width]
+        add_mask = add_mask & ~sat_px
+
+    max_adds = int(getattr(mcfg, "max_adds_per_frame", 0) or 0)
+    if max_adds and max_adds < add_mask.size:
+        # Worst-first budget: keep exactly the max_adds highest-priority
+        # pixels (top_k INDICES — a kth-value threshold overruns on ties).
+        score = jnp.where(
+            add_mask, diff + jnp.maximum(0.8 - out.alpha, 0.0), -jnp.inf
+        ).reshape(-1)
+        _, top_idx = jax.lax.top_k(score, max_adds)
+        keep = jnp.zeros(score.shape, bool).at[top_idx].set(True)
+        add_mask = add_mask & keep.reshape(add_mask.shape)
 
     uv = pixel_grid(cam)
     pts_cam = backproject(cam, uv, gt_depth)  # [H, W, 3]

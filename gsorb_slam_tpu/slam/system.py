@@ -106,10 +106,14 @@ class System:
         otherwise) shows bf16 >= f32 on every metric (ATE 3.98 vs
         4.54 cm, PSNR 23.20 vs 23.24 dB, depth-L1 0.086 vs 0.088 m) at
         -23% fused-kernel time (r3 ablation); pose-grad accuracy gated
-        compiled-vs-XLA every smoke run."""
+        compiled-vs-XLA every smoke run.
+
+        ``chunk=256`` (B=2, U=2): best measured fused-kernel config on the
+        VGA sweep (7.47 vs 8.08 ms/iter at K=128 B=4 U=4 —
+        scripts/profile_fused.py, r4c)."""
         return RasterConfig(
             tile=16, tile_capacity=2048, track_tile_capacity=1024,
-            max_dup=16, chunk=128,
+            max_dup=16, chunk=256, chunk_unroll=2, fused_tiles_per_step=2,
             dilate_px=2.0 if width <= 400 else 4.0,
             exact_stop=False,
             blend_bf16=True,
@@ -397,8 +401,11 @@ class System:
         self._track_jit = _track_auto
 
         @jax.jit
-        def _densify(gm, out, color, depth, T_cw):
-            return M.densify_frame(gm, out, color, depth, T_cw, cam, mcfg)
+        def _densify(gm, out, color, depth, T_cw, sat_tiles):
+            return M.densify_frame(
+                gm, out, color, depth, T_cw, cam, mcfg,
+                sat_tiles=sat_tiles, rcfg=rcfg,
+            )
 
         self._densify_jit = _densify
 
@@ -833,12 +840,17 @@ class System:
             self.gm = compact(self.gm)
             self._invalidate_all_bins()
             self._last_compact_frame = self.frame_id
-            bins = self._bin_jit(self.gm, jnp.asarray(T_cw))
 
-        # Render at tracked pose (reusing tracking bins) for densification.
+        # Render at the tracked pose for densification with FRESH full-
+        # capacity bins: tracking bins are (a) built at T_init, (b) capped
+        # at track_tile_capacity — reusing them feeds a truncated render
+        # into the add-mask. Saturated tiles are additionally excluded from
+        # densify (densify_frame docstring).
+        bins = self._bin_jit(self.gm, jnp.asarray(T_cw))
         out = self._render_jit(self.gm, jnp.asarray(T_cw), bins)
         self.gm, _n_added = self._densify_jit(
-            self.gm, out, color, depth, jnp.asarray(T_cw)
+            self.gm, out, color, depth, jnp.asarray(T_cw),
+            bins.counts >= self.rcfg.tile_capacity,
         )
         # Per-frame add-count instrumentation (r2 verdict: find densify
         # divergence empirically, not by eye).

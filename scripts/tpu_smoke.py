@@ -66,8 +66,14 @@ def main() -> int:
     ok = True
 
     for exact in (False, True):
+        # The non-exact pass mirrors the PRODUCTION kernel shape (chunk 256,
+        # B=2/U=2 — r4c sweep best); exact keeps the historical 128 so both
+        # chunk generations stay gated.
         rcfg = RasterConfig(
-            tile=16, tile_capacity=1024, max_dup=16, chunk=128,
+            tile=16, tile_capacity=1024, max_dup=16,
+            chunk=128 if exact else 256,
+            chunk_unroll=4 if exact else 2,
+            fused_tiles_per_step=4 if exact else 2,
             dilate_px=8.0, exact_stop=exact,
         )
         prep = jax.jit(
@@ -163,6 +169,38 @@ def main() -> int:
             ok = False
         print(f"[{s2}] exact={int(exact)} fused POSE grad rel-err: quat {rq:.2e} "
               f"trans {rt:.2e}", flush=True)
+
+        if not exact:
+            # Rectangular 16x8 tiles, compiled: fused loss vs the rect XLA
+            # blend (fresh binning geometry — tests/test_rect_tiles.py pins
+            # interpret mode; this is the hardware Mosaic gate).
+            import dataclasses as _dc
+
+            rcfg_r = _dc.replace(rcfg, tile_h=8)
+            bins_r = jax.jit(lambda: bin_gaussians(prep, cam, rcfg_r))()
+            packed_r = jax.jit(lambda: _pack_instances(prep, bins_r))()
+            gt4_r = tile_gt_images(gt_color, gt_depth, cam, rcfg_r)
+
+            def xla_loss_r(p):
+                o = blend_packed_xla(p, bins_r.counts, cam, rcfg_r)
+                mask = jax.lax.stop_gradient((o.alpha > 0.99) & (gt_depth > 0))
+                return 0.7 * l1_tracking(o.color, gt_color, mask) + 1.0 * (
+                    l1_tracking(o.depth, gt_depth, mask)
+                )
+
+            lr_ref = float(jax.jit(xla_loss_r)(packed_r))
+            img_r, dep_r, _ = jax.jit(
+                lambda p: tracking_loss_grad(
+                    p, bins_r.counts, gt4_r, cam, rcfg_r, 0.7, 1.0, False,
+                    interpret=False,
+                )
+            )(packed_r)
+            dlr = abs(float(img_r + dep_r) - lr_ref) / max(abs(lr_ref), 1.0)
+            sr = "ok " if dlr < 1e-3 else "FAIL"
+            if dlr >= 1e-3:
+                ok = False
+            print(f"[{sr}] exact={int(exact)} rect16x8 fused loss rel-err: "
+                  f"{dlr:.2e}", flush=True)
 
         if not exact:
             # preprocess-pallas pair (raster/preprocess_pallas.py): compiled
