@@ -105,6 +105,15 @@ def main():
     configs.append(("B=2 U=2 f32 K=256",
                     RasterConfig(chunk=256, chunk_unroll=2,
                                  fused_tiles_per_step=2, **base)))
+    configs.append(("B=2 U=2 bf16 K=256",
+                    RasterConfig(chunk=256, chunk_unroll=2, blend_bf16=True,
+                                 fused_tiles_per_step=2, **base)))
+    configs.append(("B=2 U=2 elem16 K=256",
+                    RasterConfig(chunk=256, chunk_unroll=2, elem_bf16=True,
+                                 fused_tiles_per_step=2, **base)))
+    configs.append(("B=4 U=4 elem16 K=128",
+                    RasterConfig(chunk=128, chunk_unroll=4, elem_bf16=True,
+                                 fused_tiles_per_step=4, **base)))
 
     best = None
     for name, cfg in configs:

@@ -327,9 +327,13 @@ def main():
                     jnp.asarray(rng.uniform(0, 1, (N, 3)).astype(np.float32)),
                     jnp.asarray(means[:, 2]), jnp.ones(N, bool), cam.fx, cam.fy)
     T_cw = jnp.eye(4)
+    import os
+
+    K_env = int(os.environ.get("CHUNK", "128"))
+    B_env = int(os.environ.get("B", "4"))
     cfg = RasterConfig(tile=16, tile_capacity=1024, max_dup=16, dilate_px=2.0,
-                       exact_stop=False, chunk=128, chunk_unroll=1,
-                       fused_tiles_per_step=4)
+                       exact_stop=False, chunk=K_env, chunk_unroll=1,
+                       fused_tiles_per_step=B_env)
     prep = jax.jit(lambda: preprocess(gm.means, gm.rgb, gm.quats,
                                       gm.logit_opacities, gm.log_scales,
                                       gm.active, T_cw, cam))()
