@@ -1,0 +1,95 @@
+"""Localize the compiled rect16x8 divergence (smoke gate FAIL; interpret
+mode is exact — tests/test_rect_tiles.py). Progressively compares compiled
+outputs at tile_h=8 against the XLA reference:
+
+1. plain blend kernel pair (blend_and_untile) — the shared chunk math +
+   pixel basis under px=128,
+2. fused tracking kernel loss,
+3. per-tile output slices to find WHERE it diverges (tile row pattern =>
+   origin mapping; everywhere => basis/blend math).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_gsorb")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from gsorb_slam_tpu.core.camera import Camera
+from gsorb_slam_tpu.ops.losses import l1_tracking
+from gsorb_slam_tpu.raster import RasterConfig, bin_gaussians, preprocess
+from gsorb_slam_tpu.raster.instances import blend_packed_xla
+from gsorb_slam_tpu.raster.pallas_raster import (
+    _pack_instances,
+    blend_and_untile,
+    tile_gt_images,
+    tracking_loss_grad,
+)
+from gsorb_slam_tpu.raster.tiled import render_tiled
+from gsorb_slam_tpu.splat.gaussians import add_points, empty_map
+
+
+def main():
+    W, H, N, CAP = 640, 480, 60_000, 1 << 16
+    cam = Camera(fx=517.3, fy=516.5, cx=318.6, cy=255.3, width=W, height=H)
+    rng = np.random.default_rng(0)
+    means = np.stack([rng.uniform(-2, 2, N), rng.uniform(-1.5, 1.5, N),
+                      rng.uniform(0.8, 4.0, N)], -1).astype(np.float32)
+    gm = empty_map(CAP)
+    gm = add_points(gm, jnp.asarray(means),
+                    jnp.asarray(rng.uniform(0, 1, (N, 3)).astype(np.float32)),
+                    jnp.asarray(means[:, 2]), jnp.ones(N, bool), cam.fx, cam.fy)
+    T = jnp.eye(4)
+    cfg = RasterConfig(tile=16, tile_h=8, tile_capacity=1024, max_dup=16,
+                       chunk=256, chunk_unroll=2, fused_tiles_per_step=2,
+                       dilate_px=8.0, exact_stop=False)
+    prep = jax.jit(lambda: preprocess(gm.means, gm.rgb, gm.quats,
+                                      gm.logit_opacities, gm.log_scales,
+                                      gm.active, T, cam))()
+    bins = jax.jit(lambda: bin_gaussians(prep, cam, cfg))()
+    packed = jax.jit(lambda: _pack_instances(prep, bins))()
+
+    ox = jax.jit(lambda p: blend_packed_xla(p, bins.counts, cam, cfg))(packed)
+    oc = jax.jit(
+        lambda p: blend_and_untile(p, bins.counts, cam, cfg, interpret=False)
+    )(packed)
+    for name in ("color", "depth", "alpha", "final_t"):
+        a = np.asarray(getattr(oc, name))
+        b = np.asarray(getattr(ox, name))
+        d = np.abs(a - b)
+        print(f"[blend] {name}: max {d.max():.6f} mean {d.mean():.6f}", flush=True)
+        if d.max() > 1e-2:
+            # Which tile rows/cols diverge?
+            dm = d if d.ndim == 2 else d.max(-1)
+            ty, tx = H // 8, W // 16
+            per_tile = dm.reshape(ty, 8, tx, 16).max((1, 3))
+            bad = np.argwhere(per_tile > 1e-2)
+            print(f"  bad tiles: {len(bad)}/{ty * tx}; first 10: "
+                  f"{bad[:10].tolist()}", flush=True)
+
+    ref = jax.jit(lambda p: render_tiled(p, bins, cam, cfg))(prep)
+    gt_color = jax.lax.stop_gradient(ref.color)
+    gt_depth = jax.lax.stop_gradient(
+        jnp.where(ref.alpha > 0.5, ref.median_depth, 0.0))
+    gt4 = tile_gt_images(gt_color, gt_depth, cam, cfg)
+
+    def xla_loss(p):
+        o = blend_packed_xla(p, bins.counts, cam, cfg)
+        mask = jax.lax.stop_gradient((o.alpha > 0.99) & (gt_depth > 0))
+        return 0.7 * l1_tracking(o.color, gt_color, mask) + l1_tracking(
+            o.depth, gt_depth, mask)
+
+    l_ref = float(jax.jit(xla_loss)(packed))
+    img, dep, _ = jax.jit(
+        lambda p: tracking_loss_grad(p, bins.counts, gt4, cam, cfg,
+                                     0.7, 1.0, False, interpret=False)
+    )(packed)
+    print(f"[fused] loss {float(img + dep):.4f} vs xla {l_ref:.4f}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
