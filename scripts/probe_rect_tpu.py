@@ -81,11 +81,21 @@ def main():
             o.depth, gt_depth, mask)
 
     l_ref = float(jax.jit(xla_loss)(packed))
-    img, dep, _ = jax.jit(
-        lambda p: tracking_loss_grad(p, bins.counts, gt4, cam, cfg,
-                                     0.7, 1.0, False, interpret=False)
-    )(packed)
-    print(f"[fused] loss {float(img + dep):.4f} vs xla {l_ref:.4f}", flush=True)
+    # Bisect the kernel-shape space: chunk {128, 256} x B {1, 2, 4}.
+    import dataclasses as _dc
+
+    for K in (128, 256):
+        for B in (1, 2, 4):
+            cfg_k = _dc.replace(cfg, chunk=K, fused_tiles_per_step=B,
+                                chunk_unroll=2)
+            img, dep, _ = jax.jit(
+                lambda p, cfg_k=cfg_k: tracking_loss_grad(
+                    p, bins.counts, gt4, cam, cfg_k, 0.7, 1.0, False,
+                    interpret=False)
+            )(packed)
+            rel = abs(float(img + dep) - l_ref) / max(abs(l_ref), 1.0)
+            print(f"[fused K={K} B={B}] loss {float(img + dep):.4f} "
+                  f"vs xla {l_ref:.4f} rel {rel:.2e}", flush=True)
     return 0
 
 
