@@ -101,7 +101,7 @@ def parallel_track_frame(
     ps0 = init_pose_state(quat0, trans0)
     regate_iter = num_iters // 2
 
-    gt4 = tile_gt_images(gt_color, gt_depth, cam, rcfg)  # [T, 4, px]
+    gt4 = tile_gt_images(gt_color, gt_depth, cam, rcfg)  # [T, 8, px]
     n_tiles = gt4.shape[0]
     perm, is_pad = strided_tile_perm(n_tiles, n_dev)
 

@@ -1164,7 +1164,8 @@ def _fused_track_kernel_fast(
 def tracking_loss_grad(
     packed: jnp.ndarray,  # [T, N_ATTR, cap] screen instances
     counts: jnp.ndarray,
-    gt_tiles: jnp.ndarray,  # [T, 4, px] gt r,g,b,depth in tile layout
+    gt_tiles: jnp.ndarray,  # [T, 8, px] gt r,g,b,depth (+4 pad rows; see
+    #   tile_gt_images) in tile layout
     cam: Camera,
     cfg: RasterConfig,
     im_weight: float,
@@ -1211,7 +1212,7 @@ def tracking_loss_grad(
                         memory_space=pltpu.VMEM,
                     ),
                     pl.BlockSpec(
-                        (1, 4, dims.px), lambda t, *_: (t, 0, 0),
+                        (1, 8, dims.px), lambda t, *_: (t, 0, 0),
                         memory_space=pltpu.VMEM,
                     ),
                 ],
@@ -1266,7 +1267,7 @@ def tracking_loss_grad(
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (B, 4, dims.px), lambda t, *_: (t, 0, 0),
+                    (B, 8, dims.px), lambda t, *_: (t, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
@@ -1323,7 +1324,12 @@ def tile_gt_images(
     img = jnp.pad(img, ((0, Hp - cam.height), (0, Wp - cam.width), (0, 0)))
     img = img.reshape(ty, tsy, tx, tsx, 4)
     img = jnp.transpose(img, (0, 2, 4, 1, 3))  # [ty, tx, 4, tsy, tsx]
-    return img.reshape(ty * tx, 4, tsy * tsx)
+    gt4 = img.reshape(ty * tx, 4, tsy * tsx)
+    # Row dim padded 4 -> 8 (the native f32 sublane tile): a (B, 4, px)
+    # VMEM block with px = 128 mis-lowers row indexing in hardware Mosaic
+    # (the rect16x8 fused-loss divergence — the blend kernel, which takes
+    # no gt block, was exact). Kernels read rows 0..3; the pad is inert.
+    return jnp.pad(gt4, ((0, 0), (0, 4), (0, 0)))
 
 
 def render_pallas(

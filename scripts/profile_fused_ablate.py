@@ -79,8 +79,8 @@ def _kernel(counts_ref, packed_ref, gt_ref, grad_ref, loss_ref,
 
     for b in range(B):
         t = pid * B + b
-        ox = ((t % dims.tx) * dims.ts).astype(jnp.float32)
-        oy = ((t // dims.tx) * dims.ts).astype(jnp.float32)
+        ox = ((t % dims.tx) * dims.ts_x).astype(jnp.float32)
+        oy = ((t // dims.tx) * dims.ts_y).astype(jnp.float32)
         acc_ref[...] = jnp.zeros((8, px), jnp.float32)
         acc_ref[6, :] = jnp.ones((px,), jnp.float32)
 

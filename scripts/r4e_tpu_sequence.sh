@@ -11,7 +11,7 @@ echo "=== [1/3] fused sweep (elem16 in situ, K=256 combos) ==="
 timeout 4200 env RECT=0 python scripts/profile_fused.py 2>&1 | grep -v WARNING | tail -18
 
 echo "=== [2/3] pass-group ablation (K=256 B=2 U=2 production shape) ==="
-timeout 2400 env ABLATE=full,fwd,no-exp,no-mxu,min,bf16,elem16 CHUNK=256 B=2 U=1 \
+timeout 2400 env ABLATE=full,fwd,noexp,nomxu,min,bf16,elem16 CHUNK=256 B=2 U=1 \
   python scripts/profile_fused_ablate.py 2>&1 | grep -v WARNING | tail -12
 
 echo "=== [3/3] mapping iteration breakdown ==="
