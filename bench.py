@@ -95,6 +95,10 @@ def main() -> None:
         dilate_px=2.0,
         exact_stop=False,  # production default (deviation <= 1e-4)
         blend_bf16=True,  # r4 quality twin: bf16 >= f32 on every metric
+        # elem16 production default (r4g): bf16 slab scratch halves the
+        # phase-A->B VMEM traffic — 143.3 vs 122.6 it/s, quality twin
+        # within noise. GSORB_BENCH_ELEM16=0 A/Bs it off.
+        elem_bf16=__import__("os").environ.get("GSORB_BENCH_ELEM16", "1") == "1",
     )
     tcfg = TrackingConfig(num_iters=ITERS, early_stop_delta=0.0)
 

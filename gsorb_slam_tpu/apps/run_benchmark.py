@@ -51,7 +51,12 @@ def main() -> None:
                          "(RasterConfig.blend_bf16) — quality-twin runs "
                          "gate flipping the production default")
     ap.add_argument("--elem-bf16", action="store_true",
-                    help="bf16 elementwise slab mode (RasterConfig.elem_bf16)")
+                    help="bf16 elementwise slab mode (RasterConfig.elem_bf16;"
+                         " production default since r4g — flag kept for twin"
+                         " compatibility)")
+    ap.add_argument("--no-elem-bf16", action="store_true",
+                    help="A/B: force the f32 slab path off the production"
+                         " elem_bf16 default")
     ap.add_argument("--no-preprocess-pallas", action="store_true",
                     help="bisect: XLA preprocess chain on the tracking path")
     ap.add_argument("--early-stop-delta", type=float, default=None,
@@ -125,7 +130,8 @@ def main() -> None:
     )
     raster = None
     if (args.dilate is not None or args.blend_bf16 or args.elem_bf16
-            or args.no_preprocess_pallas or args.tile_capacity is not None):
+            or args.no_elem_bf16 or args.no_preprocess_pallas
+            or args.tile_capacity is not None):
         import dataclasses as _dc
 
         from gsorb_slam_tpu.slam.system import System as _S
@@ -137,6 +143,8 @@ def main() -> None:
             raster = _dc.replace(raster, blend_bf16=True)
         if args.elem_bf16:
             raster = _dc.replace(raster, elem_bf16=True)
+        if args.no_elem_bf16:
+            raster = _dc.replace(raster, elem_bf16=False)
         if args.no_preprocess_pallas:
             raster = _dc.replace(raster, preprocess_pallas=False)
         if args.tile_capacity is not None:

@@ -85,6 +85,8 @@ class _Dims(NamedTuple):
     #   loop overhead dominates the chunk math, so early exit is checked at
     #   super-chunk granularity and the inner steps are Python-unrolled)
     group: int  # chunks per grid step in the FLAT blend kernels
+    debug: bool = False  # fused kernel writes per-tile diagnostics into the
+    #   spare loss-row lanes (RasterConfig.debug_loss; triage only)
 
 
 def _pixel_basis(dims: _Dims, t) -> jnp.ndarray:
@@ -574,6 +576,7 @@ def _dims_for(cam: Camera, cfg: RasterConfig, cap: int) -> _Dims:
         elem16=getattr(cfg, "elem_bf16", False) and not cfg.exact_stop,
         unroll=min(getattr(cfg, "chunk_unroll", 4), n_chunks),
         group=max(1, getattr(cfg, "flat_group", 1)),
+        debug=getattr(cfg, "debug_loss", False),
     )
 
 
@@ -1054,10 +1057,35 @@ def _fused_track_kernel_fast(
             0,
         )
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, px), 1)
-        loss_ref[b, :, :] = jnp.where(
-            lane == 0, im_w * loss_color,
-            jnp.where(lane == 1, depth_w * loss_depth, 0.0),
-        )
+        if dims.debug:
+            # Per-tile internals on the spare lanes (triage of compiled
+            # Mosaic divergences; see RasterConfig.debug_loss). Host-side
+            # ground truth for each lane is computable from the XLA blend
+            # outputs + gt tiles.
+            gtd_pos = (gtd > 0.0).astype(jnp.float32)
+            dbg = [
+                im_w * loss_color,                                   # 0
+                depth_w * loss_depth,                                # 1
+                jnp.sum(mask),                                       # 2
+                jnp.sum(S),                                          # 3
+                jnp.max(S),                                          # 4
+                sc_end.astype(jnp.float32),                          # 5
+                jnp.sum(gtd),                                        # 6
+                jnp.sum(gtr + gtg + gtb),                            # 7
+                jnp.sum(Cr + Cg + Cb),                               # 8
+                jnp.sum(jnp.abs(dr) + jnp.abs(dg) + jnp.abs(db)),    # 9
+                jnp.sum(jnp.abs(depth_pred - gtd) * gtd_pos),        # 10
+                jnp.sum(depth_pred),                                 # 11
+            ]
+            out_row = jnp.zeros((1, px), jnp.float32)
+            for i, v in enumerate(dbg):
+                out_row = jnp.where(lane == i, v, out_row)
+            loss_ref[b, :, :] = out_row
+        else:
+            loss_ref[b, :, :] = jnp.where(
+                lane == 0, im_w * loss_color,
+                jnp.where(lane == 1, depth_w * loss_depth, 0.0),
+            )
 
         # ---- phase B ----
         acc_ref[7, :] = jnp.zeros((px,), jnp.float32)  # suffix accumulator R
@@ -1173,7 +1201,8 @@ def tracking_loss_grad(
     use_sur_depth: bool,
     interpret: bool | None = None,
     tile_ids: jnp.ndarray | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    return_tile_rows: bool = False,
+) -> tuple[jnp.ndarray, ...]:
     """One fused launch -> (image_l1*im_w, depth_l1*depth_w, d_packed).
 
     The loss is the masked-SUM tracking mix of ``RenderStartTraking``
@@ -1243,6 +1272,8 @@ def tracking_loss_grad(
         )(counts, tile_ids, packed, gt_tiles)
         image_l1 = jnp.sum(loss[:, 0, 0])
         depth_l1 = jnp.sum(loss[:, 0, 1])
+        if return_tile_rows:
+            return image_l1, depth_l1, grads, loss
         return image_l1, depth_l1, grads
 
     # Fast path: lean chunk math, B tiles per grid step.
@@ -1306,6 +1337,8 @@ def tracking_loss_grad(
     )(counts, tile_ids, packed, gt_tiles)
     image_l1 = jnp.sum(loss[:, 0, 0])
     depth_l1 = jnp.sum(loss[:, 0, 1])
+    if return_tile_rows:
+        return image_l1, depth_l1, grads[:T], loss[:T]
     return image_l1, depth_l1, grads[:T]
 
 

@@ -99,6 +99,12 @@ class RasterConfig:
     # ~3x cheaper than the XLA chain (intermediate materialization). Off =
     # the XLA preprocess_instances path.
     preprocess_pallas: bool = dataclasses.field(default=True, metadata=dict(static=True))
+    # Diagnostic mode for the fused tracking kernel: write per-tile internal
+    # sums (mask count, S stats, executed chunks, gt-block read checksums)
+    # into the spare lanes of the loss output rows, for compiled-vs-XLA
+    # triage of Mosaic lowering divergences (e.g. the rect16x8 px=128 hunt).
+    # Never set in production paths.
+    debug_loss: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @property
     def tile_w_px(self) -> int:

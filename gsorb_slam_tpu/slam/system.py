@@ -110,13 +110,24 @@ class System:
 
         ``chunk=256`` (B=2, U=2): best measured fused-kernel config on the
         VGA sweep (7.47 vs 8.08 ms/iter at K=128 B=4 U=4 —
-        scripts/profile_fused.py, r4c)."""
+        scripts/profile_fused.py, r4c).
+
+        ``elem_bf16`` ON: bf16 slab SCRATCH halves the phase-A->B VMEM
+        traffic of the fused kernel — bench 143.3 vs 122.6 it/s (r4g,
+        math_ok). Quality twin at QVGA full budget is within noise of f32
+        (ATE 1.69 vs 1.57 cm, PSNR 26.01 vs 26.02, depth-L1 0.0439 vs
+        0.0433 — experiments/r4g_qvga_elem16 vs tum_like_qvga_r4c); pose
+        grads gated compiled-vs-XLA (rel ~1.2e-2) every smoke run. (The
+        fixed-2-chunk ablation shows the slab-math-only cost slightly
+        above blend_bf16 — the win is the scratch traffic, which that
+        ablation's f32-scratch local kernel cannot see.)"""
         return RasterConfig(
             tile=16, tile_capacity=2048, track_tile_capacity=1024,
             max_dup=16, chunk=256, chunk_unroll=2, fused_tiles_per_step=2,
             dilate_px=2.0 if width <= 400 else 4.0,
             exact_stop=False,
             blend_bf16=True,
+            elem_bf16=True,
         )
 
     def __init__(

@@ -262,7 +262,7 @@ def run_variant(name, packed, counts, gt4, cam, cfg, do_exp, do_mxu, do_bwd,
                 in_specs=[
                     pl.BlockSpec((B, N_ATTR, cap), lambda t, *_: (t, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((B, 4, dims.px), lambda t, *_: (t, 0, 0),
+                    pl.BlockSpec((B, 8, dims.px), lambda t, *_: (t, 0, 0),
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=[
@@ -365,7 +365,8 @@ def main():
             run_variant(label, packed, bins.counts, gt4, cam, cfg, de, dm, db,
                         mxu_fast=mf, elem_bf16=eb)
         except Exception as e:  # noqa: BLE001
-            print(f"{label:30s} CRASH: {type(e).__name__}", flush=True)
+            msg = str(e).replace("\n", " ")[:300]
+            print(f"{label:30s} CRASH: {type(e).__name__}: {msg}", flush=True)
 
 
 if __name__ == "__main__":

@@ -181,14 +181,27 @@ def main() -> int:
             packed_r = jax.jit(lambda: _pack_instances(prep, bins_r))()
             gt4_r = tile_gt_images(gt_color, gt_depth, cam, rcfg_r)
 
-            def xla_loss_r(p):
-                o = blend_packed_xla(p, bins_r.counts, cam, rcfg_r)
-                mask = jax.lax.stop_gradient((o.alpha > 0.99) & (gt_depth > 0))
-                return 0.7 * l1_tracking(o.color, gt_color, mask) + 1.0 * (
-                    l1_tracking(o.depth, gt_depth, mask)
-                )
+            # Reference loss from MATERIALIZED blend outputs (the XLA blend
+            # jitted ALONE, sums on host). Computing the masked loss in the
+            # SAME jit as blend_packed_xla at rect shapes hits an XLA:TPU
+            # untile mis-lowering — the fused-in image comes out permuted
+            # (global sums preserved, pointwise scrambled; bisected by
+            # scripts/probe_rect_xla.py + probe_rect_debug.py: the Pallas
+            # kernel matched per-tile host truth on every internal lane).
+            o_r = jax.jit(
+                lambda p: blend_packed_xla(p, bins_r.counts, cam, rcfg_r)
+            )(packed_r)
+            import numpy as _np
 
-            lr_ref = float(jax.jit(xla_loss_r)(packed_r))
+            a_h = _np.asarray(o_r.alpha)
+            c_h = _np.asarray(o_r.color)
+            d_h = _np.asarray(o_r.depth)
+            gc_h = _np.asarray(gt_color)
+            gd_h = _np.asarray(gt_depth)
+            m_h = ((a_h > 0.99) & (gd_h > 0)).astype(_np.float32)
+            lr_ref = 0.7 * float(
+                (_np.abs(c_h - gc_h).sum(-1) * m_h).sum()
+            ) + float((_np.abs(d_h - gd_h) * m_h).sum())
             img_r, dep_r, _ = jax.jit(
                 lambda p: tracking_loss_grad(
                     p, bins_r.counts, gt4_r, cam, rcfg_r, 0.7, 1.0, False,
@@ -196,14 +209,11 @@ def main() -> int:
                 )
             )(packed_r)
             dlr = abs(float(img_r + dep_r) - lr_ref) / max(abs(lr_ref), 1.0)
-            # WARN-only: tile_h is opt-in (not reachable from any production
-            # config) and currently DIVERGES compiled (first measured
-            # 8.2e-1; interpret mode is exact — scripts/probe_rect_tpu.py
-            # localizes it). Flipping any production default to tile_h != 0
-            # requires promoting this back to a fatal gate.
-            sr = "ok " if dlr < 1e-3 else "warn"
+            sr = "ok " if dlr < 2e-2 else "FAIL"
+            if dlr >= 2e-2:
+                ok = False
             print(f"[{sr}] exact={int(exact)} rect16x8 fused loss rel-err: "
-                  f"{dlr:.2e} (opt-in path; non-fatal)", flush=True)
+                  f"{dlr:.2e} (materialized-blend reference)", flush=True)
 
         if not exact:
             # preprocess-pallas pair (raster/preprocess_pallas.py): compiled
