@@ -28,9 +28,16 @@ def _load() -> Optional[ctypes.CDLL]:
         "native",
     )
     path = os.path.join(native_dir, "libgsorb_native.so")
-    if not os.path.exists(path):
-        # Build on first use (the binary is not versioned): ~1s with g++.
-        src = os.path.join(native_dir, "gsorb_native.cpp")
+    src = os.path.join(native_dir, "gsorb_native.cpp")
+    stale = (
+        os.path.exists(path)
+        and os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(path)
+    )
+    if not os.path.exists(path) or stale:
+        # Build on first use and whenever the source is NEWER than the
+        # binary (the .so is unversioned; a stale prebuilt can lack symbols
+        # added later — ADVICE r4): ~1s with g++.
         if os.path.exists(src):
             import subprocess
 
@@ -41,7 +48,12 @@ def _load() -> Optional[ctypes.CDLL]:
                     check=True, capture_output=True, timeout=120,
                 )
             except Exception:
-                return None
+                if stale:
+                    # keep whatever symbols the old binary has; the
+                    # try/except below degrades missing ones to fallbacks
+                    pass
+                else:
+                    return None
     if not os.path.exists(path):
         return None
     lib = ctypes.CDLL(path)
@@ -58,11 +70,17 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_double), ctypes.c_int,
         ctypes.c_double, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
     ]
-    lib.exact_knn3.restype = ctypes.c_int
-    lib.exact_knn3.argtypes = [
-        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
-        ctypes.c_int, ctypes.POINTER(ctypes.c_float),
-    ]
+    try:
+        lib.exact_knn3.restype = ctypes.c_int
+        lib.exact_knn3.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ]
+    except AttributeError:
+        # Stale prebuilt .so without the symbol: degrade that one entry
+        # point to its Python fallback instead of crashing every native
+        # caller (ADVICE r4 medium).
+        pass
     _LIB = lib
     return lib
 
@@ -125,7 +143,7 @@ def exact_knn3_native(pts: np.ndarray, valid: np.ndarray) -> np.ndarray | None:
     simple_knn/distCUDA2 contract, ``src/simple_knn.cu:45-221``) via the
     native grid search. Returns None when the library is absent."""
     lib = _load()
-    if lib is None:
+    if lib is None or not hasattr(lib, "exact_knn3"):
         return None
     pts = np.ascontiguousarray(pts, np.float32)
     v = np.ascontiguousarray(valid, np.uint8)

@@ -611,9 +611,11 @@ class System:
             fe = self.fe
             ids = np.nonzero(fe.pt_valid)[0]
             for p in ids:
-                M = point_corr.get(int(fe.pt_first_kf[p]))
-                if M is not None:
-                    fe.pt_pos[p] = M[:3, :3] @ fe.pt_pos[p] + M[:3, 3]
+                corr_mat = point_corr.get(int(fe.pt_first_kf[p]))
+                if corr_mat is not None:
+                    fe.pt_pos[p] = (
+                        corr_mat[:3, :3] @ fe.pt_pos[p] + corr_mat[:3, 3]
+                    )
         # Post-correction completion (src/LoopClosing.cc:405-660):
         # SearchAndFuse — project map points into the corrected query KF and
         # its covisible neighbors and merge duplicates (:590) — then a
