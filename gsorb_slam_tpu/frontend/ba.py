@@ -270,19 +270,39 @@ def sim3_pose_graph_optimization(
     Each node is a Sim3 ``S = (s, R, t): x -> s R x + t`` stored as an SE3
     matrix plus a log-scale. Residual per edge:
     ``E = S_rel^{-1} ∘ S_i ∘ S_j^{-1}`` with ``r = [se3_log(R_E, t_E),
-    log s_E]``. Batched Gauss-Seidel with the same small-error ±identity
-    Jacobian scheme as :func:`pose_graph_optimization`; the log-scale
-    component is exactly linear (``log s_E = rel_ls^{-1} + ls_i - ls_j``),
-    so scale drift distributes like a graph Laplacian solve — the
-    monocular loop-closure capability the SE3 graph lacks
-    (``src/LoopClosing.cc:234`` mbFixScale=false for mono).
+    log s_E]``. Batched Gauss-Seidel on per-node 7x7 normal equations with
+    the exact left-perturbation Jacobians at r -> 0 — the Sim3 twin of
+    :func:`pose_graph_optimization`'s adjoint scheme (whose scalar-H /
+    ±identity predecessor diverged from g2o at 10x accumulated drift):
+
+        S_i <- exp(xi) S_i  =>  E = exp(Ad_sim3(rel^{-1}) xi) E,
+        S_j <- exp(xi) S_j  =>  E = E exp(-xi),
+
+    i.e. ``J_i = Ad_sim3(rel^{-1})``, ``J_j = -I7``, with xi = [rho, phi,
+    sigma] and the Sim3 adjoint of S = (s, R, t)
+
+        Ad_S = [[ sR, hat(t) R, -t ],
+                [  0,        R,  0 ],
+                [  0,        0,  1 ]]
+
+    — the -t / hat(t)R blocks carry the rotation<->translation<->scale
+    coupling that makes large-rotation monocular loop corrections
+    distribute correctly (``src/LoopClosing.cc:234`` mbFixScale=false).
+
+    Unlike the SE3 graph's per-node Gauss-Seidel, each iteration solves the
+    GLOBAL damped normal equations (dense [7K, 7K]; essential graphs are a
+    few hundred nodes at most, so the dense solve is microseconds on
+    device) — g2o-LM-grade convergence: the mono circle-drift scenario
+    reaches its optimum in <10 iterations where 1000 damped Jacobi sweeps
+    still carry 8x the residual (the chain propagates one hop per sweep).
 
     Returns (poses', log_scales'); callers absorb scale metrically via
     ``T = [R, t / s]`` (the reference's Converter on g2o::Sim3 output).
     """
-    from gsorb_slam_tpu.core.transforms import invert_se3, se3_log
+    from gsorb_slam_tpu.core.transforms import se3_log
 
     K = poses.shape[0]
+    E = edge_i.shape[0]
 
     def compose(sa, Ra, ta, sb, Rb, tb):
         return (
@@ -299,9 +319,30 @@ def sim3_pose_graph_optimization(
             -(1.0 / s)[..., None] * jnp.einsum("...ij,...j->...i", Rt, t),
         )
 
+    def _hat(v):
+        z = jnp.zeros_like(v[..., 0])
+        return jnp.stack([
+            jnp.stack([z, -v[..., 2], v[..., 1]], -1),
+            jnp.stack([v[..., 2], z, -v[..., 0]], -1),
+            jnp.stack([-v[..., 1], v[..., 0], z], -1),
+        ], -2)
+
     rel_R = rel_ij[:, :3, :3]
     rel_t = rel_ij[:, :3, 3]
     rel_s = jnp.exp(rel_ls)
+    sr, Rr, tr = inverse(rel_s, rel_R, rel_t)  # rel^{-1}, constant
+
+    # Ad_sim3(rel^{-1}) — constant across sweeps.
+    A = jnp.zeros((E, 7, 7))
+    A = A.at[:, 0:3, 0:3].set(sr[:, None, None] * Rr)
+    A = A.at[:, 0:3, 3:6].set(jnp.matmul(_hat(tr), Rr))
+    A = A.at[:, 0:3, 6].set(-tr)
+    A = A.at[:, 3:6, 3:6].set(Rr)
+    A = A.at[:, 6, 6].set(1.0)
+    AtA = jnp.einsum("eki,ekj->eij", A, A)  # J_i^T J_i
+    At = jnp.swapaxes(A, 1, 2)
+    I7 = jnp.eye(7)
+    free = jnp.logical_not(fixed_mask).astype(jnp.float32)
 
     def sweep(_, state):
         poses, ls = state
@@ -314,32 +355,54 @@ def sim3_pose_graph_optimization(
         # E = rel^{-1} ∘ S_i ∘ S_j^{-1}
         sji, Rji, tji = inverse(sj, Rj, tj)
         s1, R1, t1 = compose(si, Ri, ti, sji, Rji, tji)
-        sr, Rr, tr = inverse(rel_s, rel_R, rel_t)
         sE, RE, tE = compose(sr, Rr, tr, s1, R1, t1)
         TE = (
-            jnp.zeros((edge_i.shape[0], 4, 4))
+            jnp.zeros((E, 4, 4))
             .at[:, :3, :3].set(RE)
             .at[:, :3, 3].set(tE)
             .at[:, 3, 3].set(1.0)
         )
         r6 = se3_log(TE)  # [E, 6]
         rs = jnp.log(jnp.maximum(sE, 1e-12))  # [E]
-        w = edge_w[:, None]
-        H = jnp.zeros((K,)).at[edge_i].add(edge_w).at[edge_j].add(edge_w)
-        b6 = jnp.zeros((K, 6)).at[edge_i].add(w * r6).at[edge_j].add(-w * r6)
-        bs = (
-            jnp.zeros((K,))
-            .at[edge_i].add(edge_w * rs)
-            .at[edge_j].add(-edge_w * rs)
+        r7 = jnp.concatenate([r6, rs[:, None]], axis=1)  # [E, 7]
+        we = edge_w[:, None]
+        wE = edge_w[:, None, None]
+        # Global damped normal equations, block-assembled: diagonal blocks
+        # J^T J, off-diagonal J_i^T J_j = -J_i^T (and its transpose).
+        Hb = (
+            jnp.zeros((K, K, 7, 7))
+            .at[edge_i, edge_i].add(wE * AtA)
+            .at[edge_j, edge_j].add(wE * I7)
+            .at[edge_i, edge_j].add(-wE * At)
+            .at[edge_j, edge_i].add(-wE * A)
         )
-        dx = -b6 / (H[:, None] + damping)
-        dx = jnp.where(fixed_mask[:, None], 0.0, 0.5 * dx)
-        ds = -bs / (H + damping)
-        ds = jnp.where(fixed_mask, 0.0, 0.5 * ds)
-        # left-apply exp([rho, phi]) to the SE3 part; scale is additive in
-        # log-space and commutes through the update.
-        poses = jax.vmap(lambda xi, T: se3_exp(xi) @ T)(dx, poses)
-        return poses, ls + ds
+        Atr = jnp.einsum("eki,ek->ei", A, r7)  # J_i^T r
+        b = jnp.zeros((K, 7)).at[edge_i].add(we * Atr).at[edge_j].add(-we * r7)
+        # Gauge fixing: zero fixed rows/cols, identity on fixed diagonals.
+        Hb = Hb * (free[:, None, None, None] * free[None, :, None, None])
+        H = jnp.transpose(Hb, (0, 2, 1, 3)).reshape(7 * K, 7 * K)
+        H = H + jnp.diag(jnp.repeat(fixed_mask.astype(jnp.float32), 7))
+        H = H + (damping + 1e-6) * jnp.eye(7 * K)
+        bf = (b * free[:, None]).reshape(-1)
+        dx = -jnp.linalg.solve(H, bf).reshape(K, 7)
+        dx = jnp.where(fixed_mask[:, None], 0.0, dx)
+        # Left-compose the Sim3 retraction exp(xi): T_e = se3_exp(xi6)
+        # (first-order-consistent V; sigma*rho coupling in the exact Sim3 V
+        # is second order), s_e = exp(sigma):
+        #   (s, R, t) <- (s_e s, R_e R, s_e R_e t + t_e).
+        Te = jax.vmap(se3_exp)(dx[:, :6])
+        se = jnp.exp(dx[:, 6])
+        Rn = jnp.matmul(Te[:, :3, :3], poses[:, :3, :3])
+        tn = se[:, None] * jnp.einsum(
+            "kij,kj->ki", Te[:, :3, :3], poses[:, :3, 3]
+        ) + Te[:, :3, 3]
+        poses = (
+            jnp.zeros_like(poses)
+            .at[:, :3, :3].set(Rn)
+            .at[:, :3, 3].set(tn)
+            .at[:, 3, 3].set(1.0)
+        )
+        return poses, ls + dx[:, 6]
 
     poses, ls = jax.lax.fori_loop(0, iters, sweep, (poses, log_scales))
     return poses, ls

@@ -189,6 +189,26 @@ def _mm_t(a, b):
     )
 
 
+def _grows(chunk, ox, oy):
+    """[8, K] quadratic coefficient rows g0..g5 (+2 zero pad) for one tile's
+    chunk, with ln(opacity) folded into g0 — the operand of the polynomial-
+    basis matmul that yields ln(alpha) (see module docstring)."""
+    row = lambda r: chunk[r : r + 1, :]
+    mu = row(_MU) - ox
+    mv = row(_MV) - oy
+    ca, cb, cc = row(_CA), row(_CB), row(_CC)
+    op = row(_OP)
+    K = chunk.shape[1]
+    ln_op = jnp.log(jnp.maximum(op, 1e-12))
+    g0 = -0.5 * (ca * mu * mu + cc * mv * mv) - cb * mu * mv + ln_op
+    g1 = ca * mu + cb * mv
+    g2 = cc * mv + cb * mu
+    return jnp.concatenate(
+        [g0, g1, g2, -0.5 * ca, -cb, -0.5 * cc,
+         jnp.zeros((2, K), jnp.float32)], 0
+    )
+
+
 def _chunk_fast(chunk, tri_l, pbas, T_in, ox, oy, dims: _Dims):
     """Lean non-exact per-chunk math on the [K, px] slab (see the fast
     fused kernel's docstring for the deviation argument): no per-element
@@ -208,21 +228,16 @@ def _chunk_fast(chunk, tri_l, pbas, T_in, ox, oy, dims: _Dims):
     ~0.4% relative error into weights whose gradients are summed over
     1e5-1e8 contributions. The transmittance carry between chunks (T_in /
     T_out) stays f32."""
-    row = lambda r: chunk[r : r + 1, :]
-    mu = row(_MU) - ox
-    mv = row(_MV) - oy
-    ca, cb, cc = row(_CA), row(_CB), row(_CC)
-    op = row(_OP)
-    K = chunk.shape[1]
-    ln_op = jnp.log(jnp.maximum(op, 1e-12))
-    g0 = -0.5 * (ca * mu * mu + cc * mv * mv) - cb * mu * mv + ln_op
-    g1 = ca * mu + cb * mv
-    g2 = cc * mv + cb * mu
-    grows = jnp.concatenate(
-        [g0, g1, g2, -0.5 * ca, -cb, -0.5 * cc,
-         jnp.zeros((2, K), jnp.float32)], 0
-    )
-    ln_alpha = _dg00_split(grows, pbas)
+    ln_alpha = _dg00_split(_grows(chunk, ox, oy), pbas)
+    return _fast_post(ln_alpha, tri_l, T_in, dims)
+
+
+def _fast_post(ln_alpha, tri_l, T_in, dims: _Dims):
+    """The per-lane chain downstream of ln(alpha): clamp/gate -> log1p ->
+    triangular-cumsum matmul -> prefix transmittance / weights / exit row.
+    Shared by the square fast chunk and the paired-rect kernel (whose only
+    difference is how ln_alpha is assembled)."""
+    K = ln_alpha.shape[0]
     if dims.elem16:
         # Transcendentals and the log-domain chain stay f32: bf16 error in
         # s = log1p(-alpha) is AMPLIFIED by exp(cumsum) (3.5% summed-loss

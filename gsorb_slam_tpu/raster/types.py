@@ -94,6 +94,13 @@ class RasterConfig:
     # path): amortizes the ~1.3us fixed per-grid-step cost. The tile count
     # is padded to a multiple of this.
     fused_tiles_per_step: int = dataclasses.field(default=4, metadata=dict(static=True))
+    # Paired-rect TRACKING kernel (raster/paired.py): bin with 16x8 rect
+    # tiles (set tile_h=8) and blend two vertically-adjacent tiles per
+    # 256-lane slab — per-instance element work halves at unchanged Mosaic
+    # shapes. Consulted ONLY by the tracking fast path (track_frame);
+    # mapping/eval renders ignore it. Requires exact_stop=False and an even
+    # rect-tile row count (any height multiple of 16).
+    paired: bool = dataclasses.field(default=False, metadata=dict(static=True))
     # Run the per-iteration instance EWA projection through the Pallas
     # kernel pair (raster/preprocess_pallas.py) on the tracking fast path:
     # ~3x cheaper than the XLA chain (intermediate materialization). Off =

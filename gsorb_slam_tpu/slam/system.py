@@ -291,14 +291,24 @@ class System:
         # Tracking-only raster view: smaller tile capacity (see
         # RasterConfig.track_tile_capacity) — the tracking pack/preprocess
         # are dense over capacity, mapping/eval renders are not.
-        rcfg_t = (
-            dataclasses.replace(
-                rcfg, tile_capacity=rcfg.track_tile_capacity
-            )
-            if getattr(rcfg, "track_tile_capacity", 0)
+        rcfg_t = rcfg
+        if (
+            getattr(rcfg, "track_tile_capacity", 0)
             and rcfg.track_tile_capacity != rcfg.tile_capacity
-            else rcfg
-        )
+        ):
+            rcfg_t = dataclasses.replace(
+                rcfg_t, tile_capacity=rcfg.track_tile_capacity
+            )
+        if getattr(rcfg, "paired", False):
+            # Paired-rect tracking (raster/paired.py): the TRACKING view
+            # bins with 16x8 rect tiles; mapping/eval keep the square grid
+            # (rcfg.tile_h). The mesh tracking path shards square tiles —
+            # strip paired there (see the mesh branch below).
+            rcfg_t = dataclasses.replace(rcfg_t, tile_h=rcfg.tile // 2)
+            if self.mesh is not None:
+                rcfg_t = dataclasses.replace(
+                    rcfg_t, paired=False, tile_h=rcfg.tile_h
+                )
 
         from gsorb_slam_tpu.splat.gaussians import prefix_view
 

@@ -141,8 +141,38 @@ def track_frame(
         )
         return bin_gaussians(prep0, cam, rcfg)
 
+    backend = rcfg.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    # Paired-rect tracking (raster/paired.py): bins/pack/gt are reordered
+    # to PAIR-MAJOR rect tiles (rows 2p / 2p+1 = the halves of square tile
+    # p); the fused kernel blends both halves in one 256-lane slab. The
+    # permutation is a per-(re)bin-episode row gather — amortized with the
+    # pack itself.
+    paired = bool(getattr(rcfg, "paired", False)) and backend == "pallas"
+    if paired:
+        assert not rcfg.exact_stop, "paired tracking implements fast semantics"
+        from gsorb_slam_tpu.raster.binning import tile_grid_shape
+        from gsorb_slam_tpu.raster.paired import pair_permutation
+
+        ty_r, tx_r = tile_grid_shape(cam, rcfg)
+        perm = jnp.asarray(pair_permutation(ty_r, tx_r))
+
+        def _maybe_pair(b: TileBins) -> TileBins:
+            return TileBins(
+                indices=b.indices[perm], counts=b.counts[perm],
+                n_dropped=b.n_dropped,
+            )
+
+    else:
+
+        def _maybe_pair(b: TileBins) -> TileBins:
+            return b
+
     if bins is None:
         bins = build_bins(T_cw_init)
+    bins = _maybe_pair(bins)
 
     # Amortized instance packing: ONE gather per (re)binning episode (see
     # raster/instances.py — per-iteration gathers cost ~35ms).
@@ -157,10 +187,6 @@ def track_frame(
     raw = build_raw(bins)
 
     regate_iter = num_iters // 2  # feature_clear (src/Render.cc:1052)
-
-    backend = rcfg.backend
-    if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     def loss_fn(quat, trans, inlier_mask, raw, counts):
         T_cw = pose_to_matrix(quat, trans)
@@ -191,7 +217,15 @@ def track_frame(
             tracking_loss_grad,
         )
 
-        gt4 = tile_gt_images(gt_color, gt_depth, cam, rcfg)
+        if paired:
+            from gsorb_slam_tpu.raster.paired import (
+                pack_gt_pairs,
+                tracking_loss_grad_paired,
+            )
+
+            gt4 = pack_gt_pairs(gt_color, gt_depth, cam, rcfg)
+        else:
+            gt4 = tile_gt_images(gt_color, gt_depth, cam, rcfg)
         pp_pallas = getattr(rcfg, "preprocess_pallas", True)
         pp_interp = jax.default_backend() != "tpu"
 
@@ -215,10 +249,17 @@ def track_frame(
                 lambda q, t: _pp(raw, q, t),
                 quat, trans,
             )
-            img_l1, dep_l1, d_screen = tracking_loss_grad(
-                screen, counts, gt4, cam, rcfg,
-                tcfg.im_weight, tcfg.depth_weight, tcfg.use_sur_depth,
-            )
+            if paired:
+                img_l1, dep_l1, d_screen = tracking_loss_grad_paired(
+                    screen, counts, gt4, cam, rcfg,
+                    tcfg.im_weight, tcfg.depth_weight, tcfg.use_sur_depth,
+                    tile_ids=perm,
+                )
+            else:
+                img_l1, dep_l1, d_screen = tracking_loss_grad(
+                    screen, counts, gt4, cam, rcfg,
+                    tcfg.im_weight, tcfg.depth_weight, tcfg.use_sur_depth,
+                )
             gq1, gt1 = vjp(d_screen)
 
             def chi2_fn(q, t):
@@ -326,7 +367,7 @@ def track_frame(
             # loop already converged — rare, and far cheaper than the
             # per-iteration copy a cond would cost).
             ps_cur = carry[0]
-            b = build_bins(pose_to_matrix(ps_cur.quat, ps_cur.trans))
+            b = _maybe_pair(build_bins(pose_to_matrix(ps_cur.quat, ps_cur.trans)))
             raw, b_cnt = build_raw(b), b.counts
         carry = run_segment(carry, raw, b_cnt, seg_start, seg_end)
         seg_start = seg_end

@@ -1,0 +1,252 @@
+"""Compiled (Mosaic) validation + timing of the paired-rect tracking kernel.
+
+Three checks on hardware, mirroring tests/test_paired.py's interpret-mode
+parity but against the r2 bug class (Mosaic lowering / MXU precision):
+  1. fused paired loss vs a MATERIALIZED rect-XLA blend reference (host
+     loss sums — the rect XLA untile fused-loss path mis-lowers, see
+     tpu_smoke.py's rect block);
+  2. pose gradient through preprocess_instances + paired kernel vs the
+     square-path fused pose gradient at the same scene (both are valid
+     renderings; gradients agree to the binning-truncation level) AND vs
+     rect-XLA autodiff;
+  3. per-iteration timing of the paired vs square production config at the
+     bench workload shape (VGA, 250k splats).
+
+Usage: python scripts/probe_paired_tpu.py [--skip-timing]
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+
+jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_gsorb")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+
+from gsorb_slam_tpu.core.camera import Camera
+from gsorb_slam_tpu.core.transforms import matrix_to_pose, pose_to_matrix
+from gsorb_slam_tpu.ops.losses import l1_tracking
+from gsorb_slam_tpu.raster import RasterConfig, bin_gaussians, preprocess
+from gsorb_slam_tpu.raster.binning import TileBins, tile_grid_shape
+from gsorb_slam_tpu.raster.instances import (
+    blend_packed_xla,
+    pack_raw_instances,
+    preprocess_instances,
+)
+from gsorb_slam_tpu.raster.pallas_raster import _pack_instances, tile_gt_images
+from gsorb_slam_tpu.raster.paired import (
+    pack_gt_pairs,
+    pair_permutation,
+    tracking_loss_grad_paired,
+)
+from gsorb_slam_tpu.raster.tiled import render_tiled
+from gsorb_slam_tpu.splat.gaussians import add_points, empty_map
+
+
+def main() -> int:
+    if jax.default_backend() != "tpu":
+        print("SKIP: no TPU backend attached")
+        return 0
+    ok = True
+
+    cam = Camera(fx=90.0, fy=90.0, cx=48.0, cy=36.0, width=96, height=72)
+    rng = np.random.default_rng(1)
+    N, CAP = 3000, 1 << 13
+    means = np.stack(
+        [rng.uniform(-1, 1, N), rng.uniform(-0.8, 0.8, N), rng.uniform(1.0, 3.0, N)],
+        -1,
+    ).astype(np.float32)
+    gm = empty_map(CAP)
+    gm = add_points(
+        gm, jnp.asarray(means),
+        jnp.asarray(rng.uniform(0, 1, (N, 3)).astype(np.float32)),
+        jnp.asarray(means[:, 2]), jnp.ones(N, bool), cam.fx, cam.fy,
+    )
+    T = jnp.eye(4)
+
+    for mode in ("f32", "bf16", "elem16"):
+        rcfg = RasterConfig(
+            tile=16, tile_h=8, tile_capacity=512, max_dup=16,
+            chunk=256, chunk_unroll=2, fused_tiles_per_step=2,
+            dilate_px=8.0, exact_stop=False,
+            blend_bf16=mode in ("bf16", "elem16"),
+            elem_bf16=mode == "elem16",
+        )
+        prep = jax.jit(
+            lambda: preprocess(gm.means, gm.rgb, gm.quats, gm.logit_opacities,
+                               gm.log_scales, gm.active, T, cam)
+        )()
+        bins = jax.jit(lambda: bin_gaussians(prep, cam, rcfg))()
+        packed = jax.jit(lambda: _pack_instances(prep, bins))()
+        ty, tx = tile_grid_shape(cam, rcfg)
+        perm = jnp.asarray(pair_permutation(ty, tx))
+
+        sq = RasterConfig(tile=16, tile_capacity=1024, max_dup=16, chunk=256,
+                          chunk_unroll=2, fused_tiles_per_step=2,
+                          dilate_px=8.0, exact_stop=False)
+        prep_sq = prep
+        bins_sq = jax.jit(lambda: bin_gaussians(prep_sq, cam, sq))()
+        ref = jax.jit(lambda p: render_tiled(p, bins_sq, cam, sq))(prep_sq)
+        gt_color = jax.lax.stop_gradient(ref.color)
+        gt_depth = jax.lax.stop_gradient(
+            jnp.where(ref.alpha > 0.5, ref.median_depth, 0.0)
+        )
+
+        # 1) fused paired loss vs materialized rect-XLA blend (host sums)
+        o_r = jax.jit(
+            lambda p: blend_packed_xla(p, bins.counts, cam, rcfg)
+        )(packed)
+        a_h = np.asarray(o_r.alpha)
+        c_h = np.asarray(o_r.color)
+        d_h = np.asarray(o_r.depth)
+        m_h = ((a_h > 0.99) & (np.asarray(gt_depth) > 0)).astype(np.float32)
+        lr_ref = 0.7 * float(
+            (np.abs(c_h - np.asarray(gt_color)).sum(-1) * m_h).sum()
+        ) + float((np.abs(d_h - np.asarray(gt_depth)) * m_h).sum())
+
+        gt_pairs = pack_gt_pairs(gt_color, gt_depth, cam, rcfg)
+        img, dep, _ = jax.jit(
+            lambda p, c: tracking_loss_grad_paired(
+                p, c, gt_pairs, cam, rcfg, 0.7, 1.0, False, interpret=False,
+                tile_ids=perm,
+            )
+        )(packed[perm], bins.counts[perm])
+        dl = abs(float(img + dep) - lr_ref) / max(abs(lr_ref), 1.0)
+        tol = 2e-2 if mode == "elem16" else 5e-3
+        s = "ok " if dl < tol else "FAIL"
+        ok &= dl < tol
+        print(f"[{s}] paired/{mode} fused loss rel-err vs rect-XLA: {dl:.2e} "
+              f"(tol {tol})", flush=True)
+
+        # 2) pose gradient vs rect-XLA autodiff
+        bins_pm = TileBins(indices=bins.indices[perm],
+                           counts=bins.counts[perm], n_dropped=bins.n_dropped)
+        raw_rm = jax.jit(
+            lambda: pack_raw_instances(
+                gm.means, gm.rgb, gm.quats, gm.logit_opacities, gm.log_scales,
+                gm.active, bins,
+            )
+        )()
+        raw_pm = jax.jit(
+            lambda: pack_raw_instances(
+                gm.means, gm.rgb, gm.quats, gm.logit_opacities, gm.log_scales,
+                gm.active, bins_pm,
+            )
+        )()
+        q0, t0 = matrix_to_pose(jnp.eye(4).at[:3, 3].set(
+            jnp.array([0.004, -0.003, 0.002])
+        ))
+
+        def xla_pose_loss(q, t):
+            screen = preprocess_instances(raw_rm, pose_to_matrix(q, t), cam)
+            o = blend_packed_xla(screen, bins.counts, cam, rcfg)
+            mask = jax.lax.stop_gradient((o.alpha > 0.99) & (gt_depth > 0))
+            return 0.7 * l1_tracking(o.color, gt_color, mask) + 1.0 * (
+                l1_tracking(o.depth, gt_depth, mask)
+            )
+
+        gq_ref, gt_ref = jax.jit(jax.grad(xla_pose_loss, argnums=(0, 1)))(q0, t0)
+
+        def paired_pose_grad(q, t):
+            screen, vjp = jax.vjp(
+                lambda q_, t_: preprocess_instances(
+                    raw_pm, pose_to_matrix(q_, t_), cam
+                ),
+                q, t,
+            )
+            _i, _d, d_screen = tracking_loss_grad_paired(
+                screen, bins_pm.counts, gt_pairs, cam, rcfg, 0.7, 1.0, False,
+                interpret=False, tile_ids=perm,
+            )
+            return vjp(d_screen)
+
+        gq_f, gt_f = jax.jit(paired_pose_grad)(q0, t0)
+        rq = float(jnp.max(jnp.abs(gq_f - gq_ref)) / (jnp.max(jnp.abs(gq_ref)) + 1e-9))
+        rt = float(jnp.max(jnp.abs(gt_f - gt_ref)) / (jnp.max(jnp.abs(gt_ref)) + 1e-9))
+        tol2 = 8e-2 if mode == "elem16" else 2e-2
+        s2 = "ok " if max(rq, rt) < tol2 else "FAIL"
+        ok &= max(rq, rt) < tol2
+        print(f"[{s2}] paired/{mode} POSE grad rel-err: quat {rq:.2e} "
+              f"trans {rt:.2e} (tol {tol2})", flush=True)
+
+    if "--skip-timing" not in sys.argv:
+        _timing()
+
+    print("PAIRED-PROBE " + ("PASS" if ok else "FAIL"), flush=True)
+    return 0 if ok else 1
+
+
+def _timing() -> None:
+    """Bench-workload timing: paired vs square production track_frame."""
+    import dataclasses as dc
+
+    from gsorb_slam_tpu.core.config import TrackingConfig
+    from gsorb_slam_tpu.slam.tracking import FeatureMatches, track_frame
+
+    W, H, N, CAP = 640, 480, 250_000, 1 << 18
+    ITERS = 200
+    cam = Camera(fx=517.3, fy=516.5, cx=318.6, cy=255.3, width=W, height=H)
+    rng = np.random.default_rng(0)
+    means = np.stack(
+        [rng.uniform(-2, 2, N), rng.uniform(-1.5, 1.5, N),
+         rng.uniform(0.8, 4.0, N)], -1
+    ).astype(np.float32)
+    gm = empty_map(CAP)
+    gm = add_points(
+        gm, jnp.asarray(means),
+        jnp.asarray(rng.uniform(0, 1, (N, 3)).astype(np.float32)),
+        jnp.asarray(means[:, 2]), jnp.ones(N, bool), cam.fx, cam.fy,
+    )
+    base = RasterConfig(
+        tile=16, tile_capacity=1024, max_dup=16, chunk=256, chunk_unroll=2,
+        fused_tiles_per_step=2, dilate_px=2.0, exact_stop=False,
+        blend_bf16=True, elem_bf16=True,
+    )
+    import os
+
+    pcap = int(os.environ.get("GSORB_PAIRED_CAP", "768"))
+    variants = {
+        "square": base,
+        f"paired{pcap}": dc.replace(base, paired=True, tile_h=8,
+                                    tile_capacity=pcap),
+    }
+    tcfg = TrackingConfig(num_iters=ITERS, early_stop_delta=0.0)
+    T_gt = jnp.eye(4)
+    prep = preprocess(
+        gm.means, gm.rgb, gm.quats, gm.logit_opacities, gm.log_scales,
+        gm.active, T_gt, cam,
+    )
+    sqbins = bin_gaussians(prep, cam, variants["square"])
+    out = jax.jit(lambda p: render_tiled(p, sqbins, cam, variants["square"]))(prep)
+    gt_color = jax.lax.stop_gradient(out.color)
+    gt_depth = jax.lax.stop_gradient(
+        jnp.where(out.alpha > 0.5, out.median_depth, 0.0)
+    )
+    T_init = jnp.eye(4).at[:3, 3].set(jnp.array([0.01, -0.005, 0.008]))
+    for name, rcfg in variants.items():
+        bins = jax.jit(lambda: bin_gaussians(prep, cam, rcfg))()
+        print(f"# {name}: instances {int(jnp.sum(bins.counts))} "
+              f"max-count {int(jnp.max(bins.counts))}", flush=True)
+        run = jax.jit(
+            lambda gm, T0: track_frame(
+                gm, T0, gt_color, gt_depth, FeatureMatches.empty(), cam,
+                tcfg, rcfg, num_iters=ITERS, bins=bins,
+            ).T_cw
+        )
+        jax.block_until_ready(run(gm, T_init))
+        best = float("inf")
+        for rep in range(3):
+            T_r = T_init.at[0, 3].add(1e-5 * (rep + 1))
+            jax.block_until_ready(T_r)
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(gm, T_r))
+            best = min(best, time.perf_counter() - t0)
+        print(f"# {name}: {best*1e3:.1f} ms / {ITERS} iters = "
+              f"{ITERS/best:.1f} it/s", flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
