@@ -64,6 +64,16 @@ def main() -> None:
                          "(0 = static fori path, no early stop)")
     ap.add_argument("--tile-capacity", type=int, default=None,
                     help="override RasterConfig.tile_capacity")
+    ap.add_argument("--paired", action="store_true",
+                    help="paired-rect tracking kernel (raster/paired.py): "
+                         "16x8 rect binning, count-sorted pairing, two "
+                         "tiles per 256-lane slab")
+    ap.add_argument("--track-capacity", type=int, default=None,
+                    help="override RasterConfig.track_tile_capacity "
+                         "(the tracking view's per-tile instance cap)")
+    ap.add_argument("--track-chunk", type=int, default=None,
+                    help="override chunk K for the tracking view (paired "
+                         "runs measured best at 128)")
     ap.add_argument("--loop", action="store_true",
                     help="enable loop closing (auto-loads the packaged ORB "
                          "vocabulary; the sinusoidal sweep returns to its "
@@ -131,7 +141,9 @@ def main() -> None:
     raster = None
     if (args.dilate is not None or args.blend_bf16 or args.elem_bf16
             or args.no_elem_bf16 or args.no_preprocess_pallas
-            or args.tile_capacity is not None):
+            or args.tile_capacity is not None or args.paired
+            or args.track_capacity is not None
+            or args.track_chunk is not None):
         import dataclasses as _dc
 
         from gsorb_slam_tpu.slam.system import System as _S
@@ -149,6 +161,12 @@ def main() -> None:
             raster = _dc.replace(raster, preprocess_pallas=False)
         if args.tile_capacity is not None:
             raster = _dc.replace(raster, tile_capacity=args.tile_capacity)
+        if args.paired:
+            raster = _dc.replace(raster, paired=True)
+        if args.track_capacity is not None:
+            raster = _dc.replace(raster, track_tile_capacity=args.track_capacity)
+        if args.track_chunk is not None:
+            raster = _dc.replace(raster, track_chunk=args.track_chunk)
     sys_ = System(cfg, max_keyframes=128, frontend=args.frontend, raster=raster)
     if args.bucket_floor:
         sys_.prefix_bucket_floor = args.bucket_floor
@@ -192,6 +210,13 @@ def main() -> None:
     # src/Utils.cc:365-473 — every eval-stride-th frame).
     psnrs, ssims, dl1s = [], [], []
     gt_psnrs, gt_dl1s = [], []
+    raw_gt_psnrs = []
+    # GT poses re-expressed in the map's gauge (Horn est->gt): the map is
+    # only defined up to the rigid gauge the first keyframe pins, so raw
+    # GT poses mix that offset into the "map quality at true poses" twin.
+    from gsorb_slam_tpu.eval.ate import gauge_align_gt_to_est
+
+    gt_aligned = gauge_align_gt_to_est(est, gt)
     for i in range(0, len(ds), args.eval_stride):
         fr = ds[i]
         out = sys_.render_view(est[i])
@@ -206,11 +231,17 @@ def main() -> None:
             dl1s.append(float(np.abs(md - fr.depth)[valid].mean()))
         # GT-pose twin: scores the MAP with eval-pose error removed —
         # separates "the map is bad" from "the estimated eval pose
-        # misaligns the render" in the depth-L1 gap diagnosis.
-        out_g = sys_.render_view(fr.gt_T_cw)
+        # misaligns the render" in the depth-L1 gap diagnosis. Uses the
+        # gauge-aligned GT pose (see gauge_align_gt_to_est above); the raw
+        # unaligned number is kept as psnr_db_gt_pose_raw for reference.
+        out_g = sys_.render_view(gt_aligned[i])
         cg = np.clip(np.asarray(out_g.color), 0, 1)
         gt_psnrs.append(float(psnr(jnp.asarray(cg), jnp.asarray(fr.rgb),
                                    jnp.asarray(mask))))
+        out_gr = sys_.render_view(fr.gt_T_cw)
+        cgr = np.clip(np.asarray(out_gr.color), 0, 1)
+        raw_gt_psnrs.append(float(psnr(jnp.asarray(cgr), jnp.asarray(fr.rgb),
+                                       jnp.asarray(mask))))
         mdg = np.asarray(out_g.median_depth)
         vg = mask & (mdg > 0)
         if vg.any():
@@ -229,6 +260,7 @@ def main() -> None:
         "ssim": float(np.mean(ssims)),
         "depth_l1_m": float(np.mean(dl1s)) if dl1s else None,
         "psnr_db_gt_pose": float(np.mean(gt_psnrs)),
+        "psnr_db_gt_pose_raw": float(np.mean(raw_gt_psnrs)),
         "depth_l1_m_gt_pose": float(np.mean(gt_dl1s)) if gt_dl1s else None,
         "mean_frame_s": float(np.mean(lat[1:])),
         "median_frame_s": float(np.median(lat[1:])),
@@ -248,9 +280,36 @@ def main() -> None:
         "densify_added_max": summ["densify_added_max"],
         "capacity_frac": summ["capacity_frac"],
         "loop_events": len(sys_.loop_events),
+        # XLA compile seconds (trace+lower+compile) during the run: subtract
+        # from the wall-clock phases to read steady state (they reconcile:
+        # total_frontend_s/kf include whatever compiles they triggered).
+        "compile_s": summ.get("compile_s"),
         # Host-cost attribution (fe.* / kf.* wall-time accumulators).
         **{k: v for k, v in summ.items() if k.startswith(("phase_", "bin_"))},
     }
+    # Blended-WEIGHT effect of tile_capacity truncation on the PRODUCTION
+    # map at the final pose (vs a drop-nothing oracle capacity) — the
+    # honest twin of bin_dropped_frac, which counts instances.
+    try:
+        from gsorb_slam_tpu.ops.metrics import truncation_weight_report
+        from gsorb_slam_tpu.raster.preprocess import preprocess as _pp
+
+        gm = sys_.gm
+        prep_f = _pp(gm.means, gm.rgb, gm.quats, gm.logit_opacities,
+                     gm.log_scales, gm.active, jnp.asarray(est[-1]),
+                     sys_.cam)
+        oc = sys_.rcfg.tile_capacity
+        while oc < 1 << 15:
+            oc *= 2
+        rep = truncation_weight_report(
+            prep_f, sys_.cam, sys_.rcfg, oracle_capacity=oc)
+        result["trunc_weight_dropped_frac"] = round(
+            rep["weight_dropped_frac"], 6)
+        result["trunc_inst_dropped_frac"] = round(
+            rep["inst_dropped_frac"], 6)
+        result["trunc_oracle_dropped"] = rep["oracle_dropped"]
+    except Exception as e:  # telemetry must never fail the run
+        result["trunc_weight_dropped_frac"] = f"error: {e}"
     with open(os.path.join(args.out, "result.txt"), "a") as f:
         f.write(json.dumps(result) + "\n")
     print(json.dumps(result, indent=2))

@@ -59,6 +59,34 @@ def ate_rmse(
     return float(np.sqrt((err**2).sum(axis=1).mean()))
 
 
+def gauge_align_gt_to_est(
+    est_T_cw: list[np.ndarray] | np.ndarray,
+    gt_T_cw: list[np.ndarray] | np.ndarray,
+) -> list[np.ndarray]:
+    """Express GT camera poses in the ESTIMATED trajectory's gauge.
+
+    A SLAM map is only defined up to a rigid transform (the gauge the
+    first keyframe pins); rendering the map at RAW GT poses conflates
+    that rigid offset with real map damage. This computes the Horn
+    alignment est->gt from camera centers (the same alignment ATE uses)
+    and returns ``T_cw_gt @ S`` where ``S = [R | t]`` maps est-world ->
+    gt-world — i.e. GT poses re-expressed over the map's world frame, so
+    a GT-pose render twin scores map quality with both eval-pose error
+    AND gauge freedom removed.
+    """
+    est_c = np.stack([_center(T) for T in est_T_cw])
+    gt_c = np.stack([_center(T) for T in gt_T_cw])
+    ok = np.isfinite(est_c).all(axis=1) & np.isfinite(gt_c).all(axis=1)
+    if ok.sum() < 3:
+        return [np.asarray(T, np.float32) for T in gt_T_cw]
+    R, t, _ = horn_align(est_c[ok], gt_c[ok])  # x_gt ~= R x_est + t
+    S = np.eye(4, dtype=np.float64)
+    S[:3, :3] = R
+    S[:3, 3] = t
+    return [np.asarray(np.asarray(T, np.float64) @ S, np.float32)
+            for T in gt_T_cw]
+
+
 def _center(T_cw: np.ndarray) -> np.ndarray:
     R = T_cw[:3, :3]
     t = T_cw[:3, 3]

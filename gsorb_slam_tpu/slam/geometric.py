@@ -266,6 +266,23 @@ class GeometricFrontend:
         feats: Optional[ORBFeatures] = None,
         kp_ur: Optional[np.ndarray] = None,  # [N] right-image u (<0 = mono)
     ) -> FrontendResult:
+        """Timed wrapper: ``fe.total`` accumulates the WHOLE call so the
+        named ``fe.*`` phases reconcile against it (r4 verdict item 7 —
+        an unattributed gap between phase sums and total_frontend_s is a
+        telemetry bug, not a measurement)."""
+        t_all = time.perf_counter()
+        try:
+            return self._process_frame(gray, T_pred, feats, kp_ur)
+        finally:
+            self._tt("fe.total", t_all)
+
+    def _process_frame(
+        self,
+        gray: np.ndarray,
+        T_pred: np.ndarray,
+        feats: Optional[ORBFeatures] = None,
+        kp_ur: Optional[np.ndarray] = None,
+    ) -> FrontendResult:
         """Track the local map in one frame. ``kp_ur`` (from
         :func:`frontend.matcher.compute_stereo_matches`) switches matched
         observations to 3-DoF stereo BA edges, the reference's

@@ -51,6 +51,38 @@ SENSOR_RGBD = "rgbd"
 SENSOR_MONOCULAR = "monocular"
 SENSOR_STEREO = "stereo"
 
+# Process-wide XLA compile-time accumulator (trace + lowering + backend
+# compile), fed by jax's monitoring events. First-call compiles land inside
+# whatever wall-clock phase triggered them; this counter lets
+# shutdown_summary report them as their OWN field (``compile_s``) so
+# steady-state claims reconcile against result.txt (r4 verdict item 7:
+# total_frontend_s carried ~380 s of compile the phase timers could not
+# explain).
+_COMPILE_SECONDS = {"total": 0.0}
+_COMPILE_EVENTS = (
+    "/jax/core/compile/jaxpr_trace_duration",
+    "/jax/core/compile/jaxpr_to_mlir_module_duration",
+    "/jax/core/compile/backend_compile_duration",
+)
+_compile_listener_registered = False
+
+
+def _register_compile_listener() -> None:
+    global _compile_listener_registered
+    if _compile_listener_registered:
+        return
+    try:
+        from jax._src import monitoring
+
+        def _on_event(name: str, dur: float, **_kw) -> None:
+            if name in _COMPILE_EVENTS:
+                _COMPILE_SECONDS["total"] += dur
+
+        monitoring.register_event_duration_secs_listener(_on_event)
+        _compile_listener_registered = True
+    except Exception:  # monitoring API moved — degrade to no compile field
+        pass
+
 
 @dataclasses.dataclass
 class FrameRecord:
@@ -122,8 +154,15 @@ class System:
         above blend_bf16 — the win is the scratch traffic, which that
         ablation's f32-scratch local kernel cannot see.)"""
         return RasterConfig(
-            tile=16, tile_capacity=2048, track_tile_capacity=1024,
-            max_dup=16, chunk=256, chunk_unroll=2, fused_tiles_per_step=2,
+            # track_tile_capacity 512 + fused B=4 (r5 sweep): the tracking
+            # pack/preprocess are DENSE over capacity, so halving the cap
+            # halves their cost; B=4 amortizes the per-grid-step fixed
+            # cost. 143.5 -> 159.0 it/s at the bench workload (max
+            # per-tile count there is 472; real-scene truncation is
+            # monitored by bin_dropped_frac and tolerated on the tracking
+            # path — drops are the farthest instances).
+            tile=16, tile_capacity=2048, track_tile_capacity=512,
+            max_dup=16, chunk=256, chunk_unroll=2, fused_tiles_per_step=4,
             dilate_px=2.0 if width <= 400 else 4.0,
             exact_stop=False,
             blend_bf16=True,
@@ -210,6 +249,13 @@ class System:
         self.last_kf: Optional[W.KeyFrameMeta] = None  # most recent KF meta
         self._kf_created = 0  # monotonic count of keyframes ever created
         self._last_compact_frame = -1
+        # Last frame where add_points RECYCLED dead slots below the
+        # high-water mark: bins cached BEFORE that frame may index a
+        # recycled row at the dead splat's tiles (live when built, pruned,
+        # re-filled) and would blend the new splat into wrong tiles —
+        # treated like compaction in _refresh_kf_bins (ADVICE r4: the TTL
+        # window left this unguarded for up to bins_ttl frames).
+        self._last_recycle_frame = -1
         self.trajectory: list[FrameRecord] = []
         self.frame_id = 0
         self.last_kf_frame_id = -(10**9)
@@ -224,6 +270,10 @@ class System:
             # the keyframe chain (create_keyframe + LocalMapping + loop).
             "frontend": 0.0, "kf": 0.0, "n_kf": 0,
         }
+        # XLA compile seconds attributable to THIS System's lifetime
+        # (process-wide counter snapshot; see _COMPILE_SECONDS).
+        _register_compile_listener()
+        self._compile_s_at_init = _COMPILE_SECONDS["total"]
         self.loop_events: list[tuple[int, int, int]] = []
         self.densify_added: list[int] = []  # per-frame splat add counts
         # (kept, dropped) instance counts per binning episode (device
@@ -299,6 +349,8 @@ class System:
             rcfg_t = dataclasses.replace(
                 rcfg_t, tile_capacity=rcfg.track_tile_capacity
             )
+        if getattr(rcfg, "track_chunk", 0):
+            rcfg_t = dataclasses.replace(rcfg_t, chunk=rcfg.track_chunk)
         if getattr(rcfg, "paired", False):
             # Paired-rect tracking (raster/paired.py): the TRACKING view
             # bins with 16x8 rect tiles; mapping/eval keep the square grid
@@ -537,9 +589,10 @@ class System:
         merely OLDER than ``bins_ttl`` refresh round-robin, capped at
         ``bins_refresh_per_frame`` per frame.
         """
+        stale_event = max(self._last_compact_frame, self._last_recycle_frame)
         invalid = [
             i for i in kf_ids
-            if self.keyframes[i].bins_built_at <= self._last_compact_frame
+            if self.keyframes[i].bins_built_at <= stale_event
         ]
         stale = [
             i for i in kf_ids
@@ -688,6 +741,12 @@ class System:
                     if gt_pose is None
                     else np.asarray(gt_pose, np.float32)
                 )
+                # Frame-0 keyframe creation belongs to the KF-chain timer
+                # (where every later create_keyframe lands) — it triggers
+                # the whole LocalMapping compile generation, which used to
+                # land in total_frontend_s (r4 verdict item 7).
+                self.timings["frontend"] += time.perf_counter() - t_fe
+                t_kf0 = time.perf_counter()
                 kf0 = self.fe.create_keyframe(
                     feats0, depth_np, T0, frame_id=0,
                     kp_depth=aux.get("kp_depth"),
@@ -697,6 +756,9 @@ class System:
                 # keyframe; KeyFrameDatabase::add runs for every KF).
                 if self.loop_closer is not None:
                     self.loop_closer.add_keyframe(kf0)
+                self.timings["kf"] += time.perf_counter() - t_kf0
+                self.timings["n_kf"] += 1
+                t_fe = time.perf_counter()
             else:
                 T_pred = (self.velocity @ self.last_T_cw).astype(np.float32)
                 fe_res = self.fe.process_frame(
@@ -871,10 +933,16 @@ class System:
         # densify (densify_frame docstring).
         bins = self._bin_jit(self.gm, jnp.asarray(T_cw))
         out = self._render_jit(self.gm, jnp.asarray(T_cw), bins)
+        # Dead slots below the high-water mark BEFORE densify: any adds
+        # now will fill them first (add_points recycling order), which
+        # staleness-invalidates older cached bins (see _last_recycle_frame).
+        dead_below_hwm = int(self.gm.count) - int(self.gm.n_active())
         self.gm, _n_added = self._densify_jit(
             self.gm, out, color, depth, jnp.asarray(T_cw),
             bins.counts >= self.rcfg.tile_capacity,
         )
+        if dead_below_hwm > 0 and int(_n_added) > 0:
+            self._last_recycle_frame = self.frame_id
         # Per-frame add-count instrumentation (r2 verdict: find densify
         # divergence empirically, not by eye).
         self.densify_added.append(int(_n_added))
@@ -1171,6 +1239,7 @@ class System:
         self.last_kf = None
         self._kf_created = 0
         self._last_compact_frame = -1
+        self._last_recycle_frame = -1
         self.trajectory = []
         self.frame_id = 0
         self.last_kf_frame_id = -(10**9)
@@ -1447,6 +1516,13 @@ class System:
             "total_mapping_s": t["map"],
             "total_frontend_s": t["frontend"],
             "total_kf_chain_s": t["kf"],
+            # XLA compile seconds during this System's lifetime (trace +
+            # lowering + backend compile, from jax monitoring events).
+            # First-call compiles land inside whatever wall-clock phase
+            # triggered them; subtract this to read steady state.
+            "compile_s": round(
+                _COMPILE_SECONDS["total"] - self._compile_s_at_init, 3
+            ),
             "avg_kf_chain_s": t["kf"] / max(t["n_kf"], 1),
             "n_keyframes": len(self.keyframes),
             "n_frames": self.frame_id,

@@ -1,13 +1,21 @@
-"""Export a TUMLike (or Synthetic) sequence to disk in REAL TUM format so
-the stock reference protocol runs against on-disk data with no code edits:
+"""Export a TUMLike (or Synthetic) sequence to disk in a REAL dataset
+layout so the stock reference protocols run against on-disk data with no
+code edits:
 
     python scripts/make_tum_disk.py --out datasets/TUM_RGBD/rgbd_dataset_freiburg1_desk \
         --frames 40 [--width 640 --height 480]
     DATA_ROOT=datasets/TUM_RGBD ROUNDS=1 scripts/run_tum.sh --max-frames 40
 
-(VERDICT r3 item 6: rehearse the real-data path end to end — PNG16 depth
-x1/5000, rgb.txt/depth.txt association with timestamp jitter,
-groundtruth.txt.)
+    python scripts/make_tum_disk.py --format replica --out datasets/Replica/room0 --frames 40
+    DATA_ROOT=datasets/Replica ROUNDS=1 scripts/run_replica.sh --max-frames 40
+
+    python scripts/make_tum_disk.py --format scannet --out datasets/Scannet/scene0000_00 --frames 40
+    DATA_ROOT=datasets/Scannet ROUNDS=1 scripts/run_scannet.sh --max-frames 40
+
+(VERDICT r3 item 6 / r4 item 8: rehearse the real-data paths end to end —
+TUM: PNG16 depth x1/5000, rgb.txt/depth.txt association with timestamp
+jitter, groundtruth.txt; Replica: results/frame*.jpg + depth*.png x1/6553.5
++ traj.txt T_wc rows; ScanNet: color/depth/pose dirs, millimeter PNG16.)
 """
 
 from __future__ import annotations
@@ -23,6 +31,9 @@ def main(argv=None) -> int:
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--kind", default="tumlike", choices=["tumlike", "synthetic"])
+    ap.add_argument("--format", default="tum",
+                    choices=["tum", "replica", "scannet"],
+                    help="on-disk layout to write")
     ap.add_argument("--no-noise", action="store_true")
     ap.add_argument("--cache-dir", default=None,
                     help="TUMLike render cache (reuse across exports)")
@@ -35,6 +46,8 @@ def main(argv=None) -> int:
     from gsorb_slam_tpu.slam.dataset import (
         SyntheticDataset,
         TUMLikeDataset,
+        export_replica_format,
+        export_scannet_format,
         export_tum_format,
     )
 
@@ -51,8 +64,13 @@ def main(argv=None) -> int:
                      width=args.width, height=args.height)
         ds = SyntheticDataset(cam, n_frames=args.frames, seed=args.seed)
 
-    export_tum_format(ds, args.out, seed=args.seed)
-    print(f"wrote {len(ds)} frames to {args.out} (TUM layout)")
+    if args.format == "tum":
+        export_tum_format(ds, args.out, seed=args.seed)
+    elif args.format == "replica":
+        export_replica_format(ds, args.out)
+    else:
+        export_scannet_format(ds, args.out)
+    print(f"wrote {len(ds)} frames to {args.out} ({args.format} layout)")
     return 0
 
 

@@ -259,3 +259,30 @@ def test_viewer_web_map_mode_and_live_system(rng):
         assert len(img_bytes) > 100
     finally:
         httpd.shutdown()
+
+
+def test_gauge_align_gt_to_est_removes_rigid_offset():
+    """A map gauge-offset from GT by a fixed rigid transform is NOT map
+    damage: after gauge_align_gt_to_est the aligned GT poses must equal
+    the estimated ones exactly (r4 verdict item 5 — the GT-pose render
+    twin must score map quality, not the gauge)."""
+    import numpy as np
+
+    from gsorb_slam_tpu.core.transforms import se3_exp
+    from gsorb_slam_tpu.eval.ate import gauge_align_gt_to_est
+
+    rng = np.random.default_rng(3)
+    # a wiggly GT trajectory
+    gt = []
+    T = np.eye(4, dtype=np.float64)
+    for i in range(12):
+        xi = 0.1 * rng.standard_normal(6)
+        T = T @ np.asarray(se3_exp(xi), np.float64)
+        gt.append(T.copy())
+    # the estimated trajectory = GT composed with one fixed gauge S
+    S = np.asarray(se3_exp(np.array([0.2, -0.1, 0.3, 0.05, -0.2, 0.1])),
+                   np.float64)
+    est = [g @ S for g in gt]
+    aligned = gauge_align_gt_to_est(est, gt)
+    for a, e in zip(aligned, est):
+        np.testing.assert_allclose(a, e, atol=1e-5)

@@ -299,3 +299,47 @@ def test_system_reports_bin_truncation_telemetry():
     s = sys_.shutdown_summary()
     assert s["bin_instances_total"] > 0
     assert 0.0 <= s["bin_dropped_frac"] <= 1.0
+
+
+def test_truncation_weight_negligible_on_saturated_scene(rng):
+    """tile_capacity truncation drops the FARTHEST instances per tile; on a
+    scene that saturates alpha the dropped instances are occluded, so the
+    blended-WEIGHT effect must be <0.1% even when the INSTANCE-count drop
+    is tens of percent (r4 verdict item 7: justify bin_dropped_frac in
+    weight terms)."""
+    import dataclasses as dc
+
+    from gsorb_slam_tpu.ops.metrics import truncation_weight_report
+    from tests.scenes import identity_pose, tiny_camera
+
+    cam = tiny_camera()
+    n = 1200
+    # dense cloud concentrated on a few tiles, opaque enough to saturate
+    means = np.stack([
+        rng.uniform(-0.25, 0.25, n),
+        rng.uniform(-0.2, 0.2, n),
+        rng.uniform(1.2, 3.0, n),
+    ], -1).astype(np.float32)
+    # Saturation must be PER-PIXEL for the occlusion argument to hold:
+    # each splat covers its whole tile (radius >= 9 px at depth 3) at
+    # ~0.998 opacity, so the nearest kept prefix drives T to ~0 everywhere.
+    # (Smaller splats leave unsaturated pixels where drops DO leak weight —
+    # measured ~4% at scale 0.05..0.2; the e2e benchmark reports the
+    # production-map number per run.)
+    prep = preprocess(
+        jnp.asarray(means),
+        jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32)),
+        jnp.asarray(np.tile([1.0, 0, 0, 0], (n, 1)).astype(np.float32)),
+        jnp.full((n,), 6.0, jnp.float32),  # sigmoid(6) ~ 0.9975 opacity
+        jnp.asarray(np.full((n, 3), np.log(0.3), np.float32)),
+        jnp.ones((n,), bool),
+        identity_pose(), cam,
+    )
+    cfg = RasterConfig(tile=16, tile_capacity=64, max_dup=16, chunk=64)
+    rep = truncation_weight_report(prep, cam, cfg, oracle_capacity=4096)
+    assert rep["oracle_dropped"] == 0  # the oracle really drops nothing
+    assert rep["inst_dropped_frac"] > 0.5, rep  # truncation is exercised hard
+    assert rep["weight_dropped_frac"] < 5e-3, rep
+    assert rep["color_l1_frac"] < 5e-3, rep
+    # the instance-count share overstates the visible effect by >100x here
+    assert rep["weight_dropped_frac"] < rep["inst_dropped_frac"] / 100.0, rep
