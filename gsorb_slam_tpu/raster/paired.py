@@ -91,16 +91,32 @@ def pair_permutation(ty: int, tx: int) -> np.ndarray:
     return np.stack([a, b], 1).reshape(-1).astype(np.int32)
 
 
+def count_sorted_pair_permutation(counts: jnp.ndarray) -> jnp.ndarray:
+    """[Tr] rect-tile ids in DESCENDING-count order. Pairing rank 2i with
+    2i+1 after a count sort minimizes sum(max(cA, cB)) over all pairings
+    (exchange argument: any pairing that splits two sort-adjacent tiles
+    can be improved by swapping), so per-pair chunk trips — the paired
+    kernel's work unit — are minimal, and empty tiles pair with empty
+    tiles instead of padding a live partner's chunks. Traced (the
+    permutation depends on the binning episode's counts); the kernel takes
+    it through the ``tile_ids`` scalar-prefetch operand."""
+    return jnp.argsort(-counts.astype(jnp.int32), stable=True).astype(jnp.int32)
+
+
 def pack_gt_pairs(
-    gt_color: jnp.ndarray, gt_depth: jnp.ndarray, cam: Camera, cfg: RasterConfig
+    gt_color: jnp.ndarray, gt_depth: jnp.ndarray, cam: Camera,
+    cfg: RasterConfig, perm: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """[T_pair, 8, 2*rect_px] gt tiles in the paired lane layout (left lane
-    half = upper rect tile of the pair)."""
+    half = the pair's FIRST rect tile). ``perm`` selects the pairing (rows
+    2p / 2p+1 = pair p's halves); defaults to the static vertical-neighbor
+    pairing of :func:`pair_permutation`."""
     gt4 = tile_gt_images(gt_color, gt_depth, cam, cfg)  # [Tr, 8, rect_px]
     ty, tx = tile_grid_shape(cam, cfg)
-    perm = jnp.asarray(pair_permutation(ty, tx))
+    if perm is None:
+        perm = jnp.asarray(pair_permutation(ty, tx))
     g = gt4[perm]
-    tp = (ty // 2) * tx
+    tp = (ty * tx) // 2
     rp = cfg.tile_w_px * cfg.tile_h_px
     return jnp.swapaxes(g.reshape(tp, 2, 8, rp), 1, 2).reshape(tp, 8, 2 * rp)
 

@@ -101,6 +101,15 @@ class RasterConfig:
     # mapping/eval renders ignore it. Requires exact_stop=False and an even
     # rect-tile row count (any height multiple of 16).
     paired: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # Chunk K for the TRACKING view only (0 = rcfg.chunk). The paired
+    # kernel's sweet spot is K=128 (finer quantization of per-pair trip
+    # counts) while the mapping flat kernels keep 256.
+    track_chunk: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # Pair rect tiles by DESCENDING COUNT (argsort per binning episode)
+    # instead of static vertical neighbors: minimizes sum(max(cA, cB)) —
+    # the paired kernel's chunk-trip count — and pairs empty tiles
+    # together. False = the original vertical-neighbor pairing.
+    paired_sort: bool = dataclasses.field(default=True, metadata=dict(static=True))
     # Run the per-iteration instance EWA projection through the Pallas
     # kernel pair (raster/preprocess_pallas.py) on the tracking fast path:
     # ~3x cheaper than the XLA chain (intermediate materialization). Off =

@@ -146,20 +146,52 @@ def track_frame(
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     # Paired-rect tracking (raster/paired.py): bins/pack/gt are reordered
-    # to PAIR-MAJOR rect tiles (rows 2p / 2p+1 = the halves of square tile
-    # p); the fused kernel blends both halves in one 256-lane slab. The
-    # permutation is a per-(re)bin-episode row gather — amortized with the
-    # pack itself.
+    # to PAIR-MAJOR rect tiles; the fused kernel blends both halves of a
+    # pair in one 256-lane slab. Pairing is COUNT-SORTED by default
+    # (rank 2i with 2i+1 after an argsort on the episode's counts — the
+    # Sum(max) -minimizing pairing, see count_sorted_pair_permutation;
+    # paired_sort=False falls back to static vertical neighbors). The
+    # permutation is a per-(re)bin-episode row gather — amortized with
+    # the pack itself.
     paired = bool(getattr(rcfg, "paired", False)) and backend == "pallas"
+    perm = None
+    if (
+        backend == "pallas"
+        and not paired
+        and rcfg.tile_h
+        and rcfg.tile_h != rcfg.tile
+        and jax.default_backend() == "tpu"
+    ):
+        # The non-paired rect fused path (px=128 Mosaic shapes) COMPILES to
+        # wrong results on TPU (bit-identical wrong loss; interpret exact —
+        # bisected by scripts/probe_rect_{xla,debug}.py). The paired kernel
+        # covers the rect-tile win at proven px=256 shapes; refuse to run
+        # the known-miscompiled configuration rather than warn (VERDICT r4
+        # item 3: a public config flag must not select a silently-wrong
+        # compiled kernel).
+        raise ValueError(
+            "rect tiles (tile_h != tile) on the TPU tracking fast path "
+            "require paired=True: the non-paired px=128 fused kernel "
+            "miscompiles under Mosaic (see raster/paired.py docstring)"
+        )
     if paired:
         assert not rcfg.exact_stop, "paired tracking implements fast semantics"
         from gsorb_slam_tpu.raster.binning import tile_grid_shape
-        from gsorb_slam_tpu.raster.paired import pair_permutation
+        from gsorb_slam_tpu.raster.paired import (
+            count_sorted_pair_permutation,
+            pair_permutation,
+        )
 
         ty_r, tx_r = tile_grid_shape(cam, rcfg)
-        perm = jnp.asarray(pair_permutation(ty_r, tx_r))
+        paired_sort = bool(getattr(rcfg, "paired_sort", True))
 
         def _maybe_pair(b: TileBins) -> TileBins:
+            nonlocal perm
+            perm = (
+                count_sorted_pair_permutation(b.counts)
+                if paired_sort
+                else jnp.asarray(pair_permutation(ty_r, tx_r))
+            )
             return TileBins(
                 indices=b.indices[perm], counts=b.counts[perm],
                 n_dropped=b.n_dropped,
@@ -223,7 +255,7 @@ def track_frame(
                 tracking_loss_grad_paired,
             )
 
-            gt4 = pack_gt_pairs(gt_color, gt_depth, cam, rcfg)
+            gt4 = pack_gt_pairs(gt_color, gt_depth, cam, rcfg, perm=perm)
         else:
             gt4 = tile_gt_images(gt_color, gt_depth, cam, rcfg)
         pp_pallas = getattr(rcfg, "preprocess_pallas", True)
@@ -369,6 +401,14 @@ def track_frame(
             ps_cur = carry[0]
             b = _maybe_pair(build_bins(pose_to_matrix(ps_cur.quat, ps_cur.trans)))
             raw, b_cnt = build_raw(b), b.counts
+            if paired and backend == "pallas":
+                # the count-sorted pairing changed with the new counts:
+                # re-gather the gt tiles into the episode's pair layout
+                # (value_and_grad_iter reads gt4/perm through the closure,
+                # re-traced per segment)
+                from gsorb_slam_tpu.raster.paired import pack_gt_pairs
+
+                gt4 = pack_gt_pairs(gt_color, gt_depth, cam, rcfg, perm=perm)
         carry = run_segment(carry, raw, b_cnt, seg_start, seg_end)
         seg_start = seg_end
     out_carry = carry

@@ -52,7 +52,9 @@ def main() -> int:
         return 0
     ok = True
 
-    cam = Camera(fx=90.0, fy=90.0, cx=48.0, cy=36.0, width=96, height=72)
+    # height must be a multiple of 16 so the 16x8 rect grid has an even
+    # row count (pair_permutation requirement; VGA 480 and QVGA 240 both are)
+    cam = Camera(fx=90.0, fy=90.0, cx=48.0, cy=32.0, width=96, height=64)
     rng = np.random.default_rng(1)
     N, CAP = 3000, 1 << 13
     means = np.stack(
@@ -115,7 +117,11 @@ def main() -> int:
             )
         )(packed[perm], bins.counts[perm])
         dl = abs(float(img + dep) - lr_ref) / max(abs(lr_ref), 1.0)
-        tol = 2e-2 if mode == "elem16" else 5e-3
+        # bf16/elem16 tol: the reference is an f32 materialized blend, so
+        # the bf16 cumsum's ~1e-2-scale loss-sum deviation (same scale the
+        # square smoke gate accepts) is expected — the r2 bug class this
+        # probe exists for showed O(1) divergence, not margins.
+        tol = 2e-2 if mode in ("elem16", "bf16") else 5e-3
         s = "ok " if dl < tol else "FAIL"
         ok &= dl < tol
         print(f"[{s}] paired/{mode} fused loss rel-err vs rect-XLA: {dl:.2e} "
@@ -208,19 +214,32 @@ def _timing() -> None:
     import os
 
     pcap = int(os.environ.get("GSORB_PAIRED_CAP", "768"))
+    pk = int(os.environ.get("GSORB_PAIRED_K", "256"))
+    pb = int(os.environ.get("GSORB_PAIRED_B", "2"))
+    pu = int(os.environ.get("GSORB_PAIRED_U", "2"))
+    scap = int(os.environ.get("GSORB_SQUARE_CAP", "1024"))
+    sb = int(os.environ.get("GSORB_SQUARE_B", "2"))
     variants = {
-        "square": base,
-        f"paired{pcap}": dc.replace(base, paired=True, tile_h=8,
-                                    tile_capacity=pcap),
+        f"square{scap}b{sb}": dc.replace(
+            base, tile_capacity=scap, fused_tiles_per_step=sb,
+        ),
+        f"paired{pcap}k{pk}b{pb}": dc.replace(
+            base, paired=True, tile_h=8, tile_capacity=pcap, chunk=pk,
+            fused_tiles_per_step=pb, chunk_unroll=pu,
+        ),
     }
+    if os.environ.get("GSORB_SKIP_SQUARE"):
+        variants.pop(f"square{scap}b{sb}")
+    if os.environ.get("GSORB_SKIP_PAIRED"):
+        variants.pop(f"paired{pcap}k{pk}b{pb}")
     tcfg = TrackingConfig(num_iters=ITERS, early_stop_delta=0.0)
     T_gt = jnp.eye(4)
     prep = preprocess(
         gm.means, gm.rgb, gm.quats, gm.logit_opacities, gm.log_scales,
         gm.active, T_gt, cam,
     )
-    sqbins = bin_gaussians(prep, cam, variants["square"])
-    out = jax.jit(lambda p: render_tiled(p, sqbins, cam, variants["square"]))(prep)
+    sqbins = bin_gaussians(prep, cam, base)
+    out = jax.jit(lambda p: render_tiled(p, sqbins, cam, base))(prep)
     gt_color = jax.lax.stop_gradient(out.color)
     gt_depth = jax.lax.stop_gradient(
         jnp.where(out.alpha > 0.5, out.median_depth, 0.0)

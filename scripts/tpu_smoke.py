@@ -171,23 +171,25 @@ def main() -> int:
               f"trans {rt:.2e}", flush=True)
 
         if not exact:
-            # Rectangular 16x8 tiles, compiled: fused loss vs the rect XLA
-            # blend (fresh binning geometry — tests/test_rect_tiles.py pins
-            # interpret mode; this is the hardware Mosaic gate).
+            # Paired-rect kernel, compiled (the production rect-tile path;
+            # the NON-paired px=128 rect fused path miscompiles under
+            # Mosaic and now raises in track_frame rather than run): fused
+            # loss vs a MATERIALIZED rect-XLA blend (host sums — computing
+            # the masked loss in the SAME jit as blend_packed_xla at rect
+            # shapes hits an XLA:TPU untile mis-lowering, bisected by
+            # scripts/probe_rect_xla.py + probe_rect_debug.py).
             import dataclasses as _dc
 
-            rcfg_r = _dc.replace(rcfg, tile_h=8)
+            from gsorb_slam_tpu.raster.paired import (
+                count_sorted_pair_permutation,
+                pack_gt_pairs,
+                tracking_loss_grad_paired,
+            )
+
+            rcfg_r = _dc.replace(rcfg, tile_h=8, paired=True)
             bins_r = jax.jit(lambda: bin_gaussians(prep, cam, rcfg_r))()
             packed_r = jax.jit(lambda: _pack_instances(prep, bins_r))()
-            gt4_r = tile_gt_images(gt_color, gt_depth, cam, rcfg_r)
 
-            # Reference loss from MATERIALIZED blend outputs (the XLA blend
-            # jitted ALONE, sums on host). Computing the masked loss in the
-            # SAME jit as blend_packed_xla at rect shapes hits an XLA:TPU
-            # untile mis-lowering — the fused-in image comes out permuted
-            # (global sums preserved, pointwise scrambled; bisected by
-            # scripts/probe_rect_xla.py + probe_rect_debug.py: the Pallas
-            # kernel matched per-tile host truth on every internal lane).
             o_r = jax.jit(
                 lambda p: blend_packed_xla(p, bins_r.counts, cam, rcfg_r)
             )(packed_r)
@@ -202,17 +204,19 @@ def main() -> int:
             lr_ref = 0.7 * float(
                 (_np.abs(c_h - gc_h).sum(-1) * m_h).sum()
             ) + float((_np.abs(d_h - gd_h) * m_h).sum())
+            perm_r = count_sorted_pair_permutation(bins_r.counts)
+            gt4_r = pack_gt_pairs(gt_color, gt_depth, cam, rcfg_r, perm=perm_r)
             img_r, dep_r, _ = jax.jit(
-                lambda p: tracking_loss_grad(
-                    p, bins_r.counts, gt4_r, cam, rcfg_r, 0.7, 1.0, False,
-                    interpret=False,
+                lambda p, c, g, pm: tracking_loss_grad_paired(
+                    p, c, g, cam, rcfg_r, 0.7, 1.0, False,
+                    interpret=False, tile_ids=pm,
                 )
-            )(packed_r)
+            )(packed_r[perm_r], bins_r.counts[perm_r], gt4_r, perm_r)
             dlr = abs(float(img_r + dep_r) - lr_ref) / max(abs(lr_ref), 1.0)
             sr = "ok " if dlr < 2e-2 else "FAIL"
             if dlr >= 2e-2:
                 ok = False
-            print(f"[{sr}] exact={int(exact)} rect16x8 fused loss rel-err: "
+            print(f"[{sr}] exact={int(exact)} paired-rect fused loss rel-err: "
                   f"{dlr:.2e} (materialized-blend reference)", flush=True)
 
         if not exact:

@@ -288,3 +288,38 @@ def test_track_frame_paired_recovers_pose(rng):
     err_final = np.linalg.norm(np.asarray(res.T_cw)[:3, 3] - T_gt[:3, 3])
     assert err_final < 0.6 * err_init, (err_init, err_final)
     assert np.isfinite(float(res.loss))
+
+
+def test_count_sorted_pairing_matches_vertical(rng):
+    """Count-sorted pairing (the production default, paired_sort=True) is
+    a pure re-pairing: loss and un-permuted gradients must match the
+    static vertical pairing bit-for-bit in exact arithmetic (each lane
+    half blends only its own tile's instances; pairing choice only
+    changes which halves share a slab)."""
+    from gsorb_slam_tpu.raster.paired import count_sorted_pair_permutation
+
+    cam, bins, packed_rm, gt_color, gt_depth = _scene_setup(rng, CFG)
+    ty, tx = tile_grid_shape(cam, CFG)
+    perm_v = pair_permutation(ty, tx)
+    perm_s = np.asarray(count_sorted_pair_permutation(bins.counts))
+    assert sorted(perm_s.tolist()) == list(range(ty * tx))
+    # sorted pairing really changes the pairing on this scene
+    assert not np.array_equal(perm_s, perm_v)
+
+    im_w, depth_w = 0.7, 1.0
+    outs = {}
+    for name, perm in (("vertical", perm_v), ("sorted", perm_s)):
+        perm_j = jnp.asarray(perm)
+        gt_pairs = pack_gt_pairs(gt_color, gt_depth, cam, CFG, perm=perm_j)
+        img_l1, dep_l1, grads_pm = tracking_loss_grad_paired(
+            packed_rm[perm_j], bins.counts[perm_j], gt_pairs, cam, CFG,
+            im_w, depth_w, False, interpret=True, tile_ids=perm_j,
+        )
+        grads_rm = np.zeros_like(np.asarray(grads_pm))
+        grads_rm[np.asarray(perm)] = np.asarray(grads_pm)
+        outs[name] = (float(img_l1 + dep_l1), grads_rm)
+    np.testing.assert_allclose(outs["sorted"][0], outs["vertical"][0],
+                               rtol=1e-6)
+    np.testing.assert_allclose(outs["sorted"][1][:, :10, :],
+                               outs["vertical"][1][:, :10, :],
+                               atol=1e-5, rtol=1e-4)
