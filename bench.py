@@ -90,8 +90,10 @@ def main() -> None:
     # over tile capacity, so tracking bins at 1024 while mapping/eval bin at
     # 2048 (the r4 depth-quality fix).
     rcfg = RasterConfig(
-        tile=16, tile_capacity=1024, max_dup=16,
-        chunk=256, chunk_unroll=2, fused_tiles_per_step=2,  # r4c sweep best
+        # r5 sweep: tracking cap 512 (dense pack/preprocess halve) + B=4
+        # (per-grid-step amortization) = 143.5 -> 159.0 it/s
+        tile=16, tile_capacity=512, max_dup=16,
+        chunk=256, chunk_unroll=2, fused_tiles_per_step=4,
         dilate_px=2.0,
         exact_stop=False,  # production default (deviation <= 1e-4)
         blend_bf16=True,  # r4 quality twin: bf16 >= f32 on every metric
