@@ -87,6 +87,12 @@ class _Dims(NamedTuple):
     group: int  # chunks per grid step in the FLAT blend kernels
     debug: bool = False  # fused kernel writes per-tile diagnostics into the
     #   spare loss-row lanes (RasterConfig.debug_loss; triage only)
+    cbatch: int = 1  # chunks whose K-LINEAR math is batched into one slab
+    #   per super-step in the fused fast kernel (r5: the measured ~0.8us
+    #   per-chunk floor is matmul-ISSUE overhead, not FLOPs — batching the
+    #   grows/dg00/phi/Srows/WG/accum passes over cbatch*K rows amortizes
+    #   it; the K^2 cumsum/suffix matmuls stay per-chunk). Early exit
+    #   coarsens to cbatch granularity.
 
 
 def _pixel_basis(dims: _Dims, t) -> jnp.ndarray:
@@ -592,6 +598,9 @@ def _dims_for(cam: Camera, cfg: RasterConfig, cap: int) -> _Dims:
         unroll=min(getattr(cfg, "chunk_unroll", 4), n_chunks),
         group=max(1, getattr(cfg, "flat_group", 1)),
         debug=getattr(cfg, "debug_loss", False),
+        cbatch=max(1, min(getattr(cfg, "fused_chunk_batch", 1), n_chunks))
+        if not cfg.exact_stop
+        else 1,
     )
 
 
@@ -1034,18 +1043,84 @@ def _fused_track_kernel_fast(
             st_ref[0] = (c + 1).astype(jnp.int32)
             st_ref[1] = (jnp.max(T_out) < STOP_T).astype(jnp.int32)
 
-        def body(sc, _):
-            for j in range(U):
-                c = sc * U + j
+        # ---- batched phase A (dims.cbatch > 1): the K-LINEAR math (grows,
+        # ln_alpha, alpha/s, accumulation, crossing) runs once per SUPER of
+        # UB chunks on [UB*K, px] slabs — amortizing the ~0.8us per-chunk
+        # matmul-issue floor — while the K^2 cumsum stays per chunk with a
+        # cheap [1, px] T carry. Dead rows in a partially-live super are
+        # sentinel zeros (alpha == 0) and self-mask, exactly as dead rows
+        # within a chunk already do; early exit coarsens to super
+        # granularity.
+        UB = dims.cbatch
 
-                @pl.when((c < n_chunks_live) & (st_ref[1] == 0))
+        def do_super(sc):
+            c0 = sc * UB
+            T = acc_ref[6:7, :]
+            chunkU = packed_ref[b, :, pl.ds(c0 * K, UB * K)]
+            rowU = lambda r: chunkU[r : r + 1, :]
+            zU = rowU(_Z)
+            ln_alphaU = _dg00_split(
+                _grows(chunkU, ox, oy), pbas_ref[...]
+            )  # [UB*K, px]
+            raw = jnp.exp(ln_alphaU)
+            alpha_f = jnp.where(raw >= MIN_ALPHA, jnp.minimum(raw, 0.99), 0.0)
+            sU = jnp.log1p(-alpha_f)
+            tprefs = []
+            for j in range(UB):
+                s_j = sU[j * K : (j + 1) * K, :]
+                if dims.bf16 and not dims.elem16:
+                    cum_j = _mm(tri_ref[...], s_j.astype(jnp.bfloat16))
+                else:
+                    cum_j = _mm_split2_rev(tri_ref[...], s_j)
+                T_pref_j = T * jnp.exp(cum_j)
+                T = T_pref_j[K - 1 : K, :] * (
+                    1.0 - alpha_f[(j + 1) * K - 1 : (j + 1) * K, :]
+                )
+                tprefs.append(T_pref_j)
+            T_prefU = jnp.concatenate(tprefs, 0)  # [UB*K, px] f32
+            wU_f = alpha_f * T_prefU
+            edt = jnp.bfloat16 if dims.elem16 else jnp.float32
+            alpha_scr[pl.ds(c0 * K, UB * K), :] = alpha_f.astype(edt)
+            w_scr[pl.ds(c0 * K, UB * K), :] = wU_f.astype(edt)
+            ones = jnp.ones((1, UB * K), jnp.float32)
+            A5U = jnp.concatenate(
+                [rowU(_R), rowU(_G), rowU(_B), zU, ones], 0
+            ).astype(edt)
+            accum = _mm(A5U, wU_f.astype(edt))
+            cross = ((T_prefU > 0.5) & (T_prefU - wU_f <= 0.5)).astype(edt)
+            z_sel = _mm(zU.astype(edt), cross)
+            acc_ref[0:5, :] = acc_ref[0:5, :] + accum
+            acc_ref[5:6, :] = acc_ref[5:6, :] + z_sel
+            acc_ref[6:7, :] = T
+            st_ref[0] = (sc + 1).astype(jnp.int32)
+            st_ref[1] = (jnp.max(T) < STOP_T).astype(jnp.int32)
+
+        if UB > 1:
+            n_super_b = (n_chunks_live + UB - 1) // UB
+
+            def bodyb(sc, _):
+                @pl.when(st_ref[1] == 0)
                 def _():
-                    do_chunk(c)
+                    do_super(sc)
 
-            return 0
+                return 0
 
-        jax.lax.fori_loop(0, n_super, body, 0)
-        sc_end = st_ref[0]  # exact executed chunk count (chunk units)
+            jax.lax.fori_loop(0, n_super_b, bodyb, 0)
+            sc_end = st_ref[0]  # executed SUPER count
+        else:
+
+            def body(sc, _):
+                for j in range(U):
+                    c = sc * U + j
+
+                    @pl.when((c < n_chunks_live) & (st_ref[1] == 0))
+                    def _():
+                        do_chunk(c)
+
+                return 0
+
+            jax.lax.fori_loop(0, n_super, body, 0)
+            sc_end = st_ref[0]  # exact executed chunk count (chunk units)
 
         # ---- cotangents + loss ----
         Cr, Cg, Cb = acc_ref[0:1, :], acc_ref[1:2, :], acc_ref[2:3, :]
@@ -1191,17 +1266,132 @@ def _fused_track_kernel_fast(
                 rsum = jnp.sum(wphi, axis=0, keepdims=True)
             acc_ref[7:8, :] = R + rsum
 
-        def bwd_body(i, _):
-            for j in range(U):
-                c = (sc_end - 1) - (i * U + j)
+        def super_grad(sc):
+            """Batched phase B over one super of UB chunks: ONE phi / Srows
+            / WG / rsums matmul each on [UB*K, px] slabs; only the K^2
+            suffix matmul stays per chunk (reverse order, with the [1, px]
+            R carry reconstructed from per-chunk rsums)."""
+            c0 = sc * UB
+            R = acc_ref[7:8, :]
+            alpha_a = alpha_scr[pl.ds(c0 * K, UB * K), :]
+            w = w_scr[pl.ds(c0 * K, UB * K), :]
+            chunkU = packed_ref[b, :, pl.ds(c0 * K, UB * K)]
+            rowU = lambda r: chunkU[r : r + 1, :]
+            ones = jnp.ones((1, UB * K), jnp.float32)
+            A5U = jnp.concatenate(
+                [rowU(_R), rowU(_G), rowU(_B), rowU(_Z), ones], 0
+            )
+            # block-ones [UB, UB*K]: row j = 1 on chunk j's columns — ONE
+            # MXU pass yields every chunk's wphi row-sum.
+            blk_r = jax.lax.broadcasted_iota(jnp.int32, (UB, UB * K), 0)
+            blk_c = jax.lax.broadcasted_iota(jnp.int32, (UB, UB * K), 1)
+            blk_ones = (blk_c // K == blk_r)
+            if dims.elem16:
+                e = jnp.bfloat16
+                phi = jax.lax.dot_general(
+                    A5U.astype(e), G5.astype(e), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_DEF,
+                )  # [UB*K, px] f32
+                wphi = w * phi.astype(e)
+                rsums = _mm(blk_ones.astype(e), wphi)  # [UB, px] f32
+                sufs = []
+                run = R
+                for j in range(UB - 1, -1, -1):
+                    s_j = _mm(
+                        utri_ref[...], wphi[j * K : (j + 1) * K, :]
+                    ) + run
+                    sufs.append(s_j)
+                    run = run + rsums[j : j + 1, :]
+                suffix = jnp.concatenate(sufs[::-1], 0)  # [UB*K, px] f32
+                af = alpha_a.astype(jnp.float32)
+                ratio = (af / (1.0 - af)).astype(e)
+                d_power = jnp.where(
+                    af < BF16_CLAMP, wphi - ratio * suffix.astype(e), e(0)
+                )
+                Srows = jax.lax.dot_general(
+                    pbas_ref[...], d_power, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_DEF,
+                )  # [8, UB*K]
+                WGrows = jax.lax.dot_general(
+                    G5.astype(e), w, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_DEF,
+                )
+            else:
+                phi = jax.lax.dot_general(
+                    A5U, G5, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_PREC,
+                )
+                wphi = w * phi
+                rsums = _mm(blk_ones.astype(jnp.float32), wphi)
+                sufs = []
+                run = R
+                for j in range(UB - 1, -1, -1):
+                    wj = wphi[j * K : (j + 1) * K, :]
+                    if dims.bf16:
+                        s_j = _mm(utri_ref[...], wj.astype(jnp.bfloat16)) + run
+                    else:
+                        s_j = _mm_split2_rev(utri_ref[...], wj) + run
+                    sufs.append(s_j)
+                    run = run + rsums[j : j + 1, :]
+                suffix = jnp.concatenate(sufs[::-1], 0)
+                ratio = alpha_a / (1.0 - alpha_a)
+                d_power = jnp.where(alpha_a < 0.99, wphi - ratio * suffix, 0.0)
+                Srows = _dgT_split2(pbas_ref[...], d_power)
+                WGrows = jax.lax.dot_general(
+                    G5, w, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_PREC,
+                )
+            S0 = Srows[0:1, :]
+            S1u = Srows[1:2, :]
+            S1v = Srows[2:3, :]
+            S2uu = Srows[3:4, :]
+            S2uv = Srows[4:5, :]
+            S2vv = Srows[5:6, :]
+            mu = rowU(_MU) - ox
+            mv = rowU(_MV) - oy
+            ca, cb, cc = rowU(_CA), rowU(_CB), rowU(_CC)
+            op = rowU(_OP)
+            E0 = mu * S0 - S1u
+            E1 = mv * S0 - S1v
+            d_mu = -(ca * E0 + cb * E1)
+            d_mv = -(cc * E1 + cb * E0)
+            d_ca = -0.5 * (mu * mu * S0 - 2.0 * mu * S1u + S2uu)
+            d_cb = -(mu * mv * S0 - mu * S1v - mv * S1u + S2uv)
+            d_cc = -0.5 * (mv * mv * S0 - 2.0 * mv * S1v + S2vv)
+            d_op = S0 / jnp.maximum(op, 1e-12)
+            G16 = jnp.concatenate(
+                [d_mu, d_mv, d_ca, d_cb, d_cc, d_op, WGrows[0:4, :],
+                 jnp.zeros((16 - _N_GRAD, UB * K), jnp.float32)],
+                axis=0,
+            )
+            grad_ref[b, :, pl.ds(c0 * K, UB * K)] = G16
+            acc_ref[7:8, :] = run
 
-                @pl.when(c >= 0)
+        if UB > 1:
+
+            def bwd_bodyb(i, _):
+                sc = sc_end - 1 - i
+
+                @pl.when(sc >= 0)
                 def _():
-                    chunk_grad(c)
+                    super_grad(sc)
 
-            return 0
+                return 0
 
-        jax.lax.fori_loop(0, n_super, bwd_body, 0)
+            jax.lax.fori_loop(0, n_super_b, bwd_bodyb, 0)
+        else:
+
+            def bwd_body(i, _):
+                for j in range(U):
+                    c = (sc_end - 1) - (i * U + j)
+
+                    @pl.when(c >= 0)
+                    def _():
+                        chunk_grad(c)
+
+                return 0
+
+            jax.lax.fori_loop(0, n_super, bwd_body, 0)
 
 
 def tracking_loss_grad(
@@ -1443,13 +1633,58 @@ def _attr_cols(prep: Preprocessed) -> jnp.ndarray:
     return jnp.concatenate([cols, jnp.zeros((1, N_ATTR), jnp.float32)], axis=0)
 
 
-def _pack_instances_flat(prep: Preprocessed, cbins) -> jnp.ndarray:
-    """Gather instance attributes into the flat [MC, N_ATTR, K] layout."""
+def flat_pack_grad_aux(cbins_indices: jnp.ndarray, C: int):
+    """Per-episode residuals for the sorted-segment pack backward
+    (``sorted_pack_grad``): the gaussian id per flat instance slot, the
+    permutation sorting slots by gaussian id, and the sorted ids. Built
+    ONCE per binning episode (one lax.sort) and reused by every mapping
+    iteration's backward, replacing XLA's scatter-add transpose of the
+    pack gather — random-index scatter-add is the slowest op class on TPU
+    — with a gather + a sorted segment reduction."""
+    flat_idx = jnp.where(cbins_indices < 0, C, cbins_indices).reshape(-1)
+    perm = jnp.argsort(flat_idx).astype(jnp.int32)
+    sorted_ids = flat_idx[perm]
+    return flat_idx.astype(jnp.int32), perm, sorted_ids.astype(jnp.int32)
+
+
+@jax.custom_vjp
+def _rows_gather_sorted(cols, flat_idx, perm, sorted_ids):
+    """cols[flat_idx] whose transpose is a sorted segment-sum instead of a
+    scatter-add (flat_idx/perm/sorted_ids from flat_pack_grad_aux)."""
+    return cols[flat_idx]
+
+
+def _rgs_fwd(cols, flat_idx, perm, sorted_ids):
+    return cols[flat_idx], (perm, sorted_ids, cols.shape[0])
+
+
+def _rgs_bwd(res, g):
+    perm, sorted_ids, C1 = res
+    gs = g[perm]
+    d_cols = jax.ops.segment_sum(
+        gs, sorted_ids, num_segments=C1, indices_are_sorted=True
+    )
+    return d_cols, None, None, None
+
+
+_rows_gather_sorted.defvjp(_rgs_fwd, _rgs_bwd)
+
+
+def _pack_instances_flat(prep: Preprocessed, cbins, pack_aux=None) -> jnp.ndarray:
+    """Gather instance attributes into the flat [MC, N_ATTR, K] layout.
+
+    ``pack_aux`` (from :func:`flat_pack_grad_aux`) switches the gather's
+    VJP to the sorted-segment backward."""
     MC, K = cbins.indices.shape
     C = prep.depth.shape[0]
     cols = _attr_cols(prep)
-    idx = jnp.where(cbins.indices < 0, C, cbins.indices)
-    rows = cols[idx.reshape(-1)].reshape(MC, K, N_ATTR)
+    if pack_aux is not None:
+        flat_idx, perm, sorted_ids = pack_aux
+        rows = _rows_gather_sorted(cols, flat_idx, perm, sorted_ids)
+        rows = rows.reshape(MC, K, N_ATTR)
+    else:
+        idx = jnp.where(cbins.indices < 0, C, cbins.indices)
+        rows = cols[idx.reshape(-1)].reshape(MC, K, N_ATTR)
     return jnp.swapaxes(rows, 1, 2)
 
 
@@ -1831,6 +2066,7 @@ def render_pallas_flat(
     cfg: RasterConfig,
     bg: jnp.ndarray | float = 0.0,
     interpret: bool | None = None,
+    pack_aux=None,
 ) -> RenderOutput:
     """Flat-chunk mapping render: ChunkBins + one gather bounded by the
     real instance count (vs T*cap for the per-tile layout)."""
@@ -1839,7 +2075,7 @@ def render_pallas_flat(
     dims = _dims_for(cam, cfg, cfg.tile_capacity)
     if not interpret:
         assert dims.K % 128 == 0, "chunk must be a multiple of 128 on TPU"
-    packed = _pack_instances_flat(prep, cbins)
+    packed = _pack_instances_flat(prep, cbins, pack_aux=pack_aux)
     out = _blend_flat(packed, cbins.chunk_tile, cbins.chunk_pos, dims, interpret)
     out = out[: dims.n_tiles]  # trim the dead-chunk padding tile
     ty, tx = tile_grid_shape(cam, cfg)

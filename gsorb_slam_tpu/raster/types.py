@@ -105,6 +105,18 @@ class RasterConfig:
     # kernel's sweet spot is K=128 (finer quantization of per-pair trip
     # counts) while the mapping flat kernels keep 256.
     track_chunk: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # Chunks whose K-linear math is batched into one [cbatch*K, px] slab
+    # per super-step in the fused fast tracking kernel (1 = off). The
+    # measured ~0.8us/chunk floor is matmul-issue overhead, not FLOPs —
+    # batching grows/phi/Srows/WG/accum amortizes it; the K^2 cumsum and
+    # suffix matmuls stay per chunk. Early exit coarsens to cbatch
+    # granularity, so keep cbatch <= the typical live chunk count.
+    fused_chunk_batch: int = dataclasses.field(default=1, metadata=dict(static=True))
+    # Mapping-path pack backward via per-episode sorted segment reduction
+    # instead of XLA's scatter-add transpose (flat_pack_grad_aux): the
+    # argsort is amortized per binning episode; every Adam iteration's
+    # backward replaces a random-index scatter-add with gather+segsum.
+    sorted_pack_grad: bool = dataclasses.field(default=True, metadata=dict(static=True))
     # Pair rect tiles by DESCENDING COUNT (argsort per binning episode)
     # instead of static vertical neighbors: minimizes sum(max(cA, cB)) —
     # the paired kernel's chunk-trip count — and pairs empty tiles

@@ -261,6 +261,7 @@ def map_window(
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     cbins_stacked = None
+    pack_aux_stacked = None
     if backend == "pallas":
         from gsorb_slam_tpu.raster.binning import chunk_layout, tile_grid_shape
 
@@ -271,6 +272,13 @@ def map_window(
                 ty * tx, rcfg.chunk, chunk_budget,
             )
         )(frames.bins_indices, frames.bins_counts)
+        if getattr(rcfg, "sorted_pack_grad", False):
+            from gsorb_slam_tpu.raster.pallas_raster import flat_pack_grad_aux
+
+            C = gm.capacity
+            pack_aux_stacked = jax.vmap(
+                lambda ci: flat_pack_grad_aux(ci, C)
+            )(cbins_stacked.indices)
 
     def step(carry, it_key):
         gm = carry
@@ -286,6 +294,14 @@ def map_window(
                 lambda a: jax.lax.dynamic_index_in_dim(a, k, keepdims=False),
                 cbins_stacked,
             )
+            aux_k = (
+                None
+                if pack_aux_stacked is None
+                else jax.tree.map(
+                    lambda a: jax.lax.dynamic_index_in_dim(a, k, keepdims=False),
+                    pack_aux_stacked,
+                )
+            )
 
             def loss_fn(params):
                 g2 = dataclasses.replace(gm, **params)
@@ -294,7 +310,8 @@ def map_window(
                     g2.log_scales, g2.active, pose, cam, mcfg.scale_modifier,
                 )
                 out = render_pallas_flat(
-                    prep, cbins_k, cam, rcfg, bg=mcfg.background_color
+                    prep, cbins_k, cam, rcfg, bg=mcfg.background_color,
+                    pack_aux=aux_k,
                 )
                 return _mapping_loss(g2, out, color, depth, mcfg, init_mode)
 

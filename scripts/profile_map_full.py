@@ -123,48 +123,63 @@ def main() -> int:
     ty, tx = tile_grid_shape(cam, rcfg)
     cbins = chunk_layout(bins, ty * tx, rcfg.chunk, budget)
 
-    def loss_at(gm_):
+    # Every variant below threads the loop carry into the inputs (acc *
+    # 1e-20 perturbation) so XLA cannot hoist the loop-invariant body —
+    # without it the fori measures ONE evaluation plus adds (the r5
+    # first-cut numbers were exactly that artifact).
+    def loss_at(gm_, aux=None):
         prep_ = preprocess(gm_.means, gm_.rgb, gm_.quats,
                            gm_.logit_opacities, gm_.log_scales, gm_.active,
                            T, cam, mcfg.scale_modifier)
-        out = render_pallas_flat(prep_, cbins, cam, rcfg)
+        out = render_pallas_flat(prep_, cbins, cam, rcfg, pack_aux=aux)
         return _mapping_loss(gm_, out, gt_color, gt_depth, mcfg, False)
 
     def fwd_many(gm_):
         def body(i, acc):
-            return acc + loss_at(gm_)
+            g2 = dataclasses.replace(gm_, means=gm_.means + acc * 1e-20)
+            return acc + loss_at(g2)
         return jax.lax.fori_loop(0, iters, body, 0.0)
 
     t = bench_once("fwd_only", jax.jit(fwd_many), gm)
     print(f"fwd_only loss:   {t*1e3/iters:8.2f} ms/iter  "
           f"(backward ~{(t_full-t)*1e3/iters:.2f} incl adam)", flush=True)
 
-    def grad_many(gm_):
-        def body(i, acc):
-            g = jax.grad(lambda p: loss_at(
-                dataclasses.replace(gm_, **p)))(gm_.params())
-            return acc + jnp.sum(g["means"][:1])
-        return jax.lax.fori_loop(0, iters, body, 0.0)
+    from gsorb_slam_tpu.raster.pallas_raster import flat_pack_grad_aux
 
-    t = bench_once("grad_no_adam", jax.jit(grad_many), gm)
+    def mk_grad_many(aux):
+        def grad_many(gm_):
+            def body(i, acc):
+                g2 = dataclasses.replace(gm_, means=gm_.means + acc * 1e-20)
+                g = jax.grad(lambda p: loss_at(
+                    dataclasses.replace(g2, **p), aux))(g2.params())
+                return acc + jnp.sum(g["means"][:1])
+            return jax.lax.fori_loop(0, iters, body, 0.0)
+        return grad_many
+
+    t = bench_once("grad_no_adam", jax.jit(mk_grad_many(None)), gm)
     print(f"grad_no_adam:    {t*1e3/iters:8.2f} ms/iter  "
-          f"(adam ~{(t_full-t)*1e3/iters:.2f})", flush=True)
+          f"(adam+scan ~{(t_full-t)*1e3/iters:.2f})", flush=True)
 
-    # pack-only: gather + scatter-back
-    from gsorb_slam_tpu.raster.pallas_raster import _pack_instances_flat
+    aux = jax.jit(lambda: flat_pack_grad_aux(cbins.indices, CAP))()
+    t = bench_once("grad_sorted", jax.jit(mk_grad_many(aux)), gm)
+    print(f"grad sorted-seg: {t*1e3/iters:8.2f} ms/iter  "
+          f"(sorted_pack_grad A/B)", flush=True)
 
-    def pack_many(m):
-        def body(i, acc):
-            import dataclasses as dc
-            p = dataclasses.replace(prep, mean2d=prep.mean2d + m[:1, :2] * 0)
-            g = jax.grad(lambda mm: jnp.sum(_pack_instances_flat(
-                dataclasses.replace(prep, mean2d=prep.mean2d + mm[:, :2]),
-                cbins) ** 2))(jnp.zeros_like(m))
-            return acc + jnp.sum(g[:1])
-        return jax.lax.fori_loop(0, iters, body, 0.0)
+    # adam_step alone over capacity (fixed grads, carry-perturbed)
+    from gsorb_slam_tpu.splat.gaussians import adam_step, map_learning_rates
 
-    t = bench_once("pack", jax.jit(pack_many), gm.means)
-    print(f"pack fwd+bwd:    {t*1e3/iters:8.2f} ms/iter", flush=True)
+    lrs = map_learning_rates(mcfg)
+    g_fixed = jax.jit(jax.grad(lambda p: loss_at(
+        dataclasses.replace(gm, **p))))(gm.params())
+
+    def adam_many(gm_):
+        def body(i, gma):
+            g2 = adam_step(gma, g_fixed, lrs)
+            return g2
+        return jax.lax.fori_loop(0, iters, body, gm_).means
+
+    t = bench_once("adam_only", jax.jit(adam_many), gm)
+    print(f"adam_only:       {t*1e3/iters:8.2f} ms/iter", flush=True)
     return 0
 
 
